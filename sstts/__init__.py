@@ -1,0 +1,30 @@
+"""sstts — TPU-native single-speaker TTS (JAX / XLA / Pallas / pjit).
+
+A brand-new framework with the capabilities of `yweweler/single-speaker-tts`
+(see SURVEY.md): CBHG encoder + Bahdanau-attention GRU decoder as jitted
+`lax.scan` programs, on-device STFT/mel front-end and Griffin-Lim vocoder,
+fixed-shape autoregressive synthesis, and data-parallel training over a
+`jax.sharding.Mesh`.
+"""
+
+from sstts.config import (
+    ArchitectureConfig,
+    Config,
+    DatasetConfig,
+    EvaluationConfig,
+    InferenceConfig,
+    TrainingConfig,
+    tiny_config,
+)
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ArchitectureConfig",
+    "Config",
+    "DatasetConfig",
+    "EvaluationConfig",
+    "InferenceConfig",
+    "TrainingConfig",
+    "tiny_config",
+]

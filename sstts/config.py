@@ -1,0 +1,220 @@
+"""Centralized hyperparameters for the sstts TPU-native TTS framework.
+
+Mirrors the reference's hparams split (`tacotron/params/{architecture,dataset,
+training,evaluation,inference}.py` — see SURVEY.md §2.4; the reference mount was
+empty, so the canonical numeric values come from the Tacotron paper (arXiv
+1703.10135, Table 1) + LJSpeech conventions, as pinned by SURVEY.md).
+
+Design: frozen dataclasses.  Everything downstream reads only these objects, so
+all array shapes are static once a config is constructed — a requirement for
+XLA's trace-once/compile-once model.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+from typing import Any, Tuple
+
+
+def ms_to_samples(ms: float, sample_rate: int) -> int:
+    """Convert a duration in milliseconds to a sample count (floor).
+
+    Matches the reference's `audio/conversion.py:ms_to_samples` semantics
+    (``int(sample_rate * ms / 1000)``).
+    """
+    return int(sample_rate * ms / 1000.0)
+
+
+@dataclass(frozen=True)
+class DatasetConfig:
+    """Audio + corpus hyperparameters (reference: `tacotron/params/dataset.py`)."""
+
+    dataset: str = "ljspeech"
+    dataset_dir: str = "data/LJSpeech-1.1"
+    #: LJSpeech native sample rate.
+    sample_rate: int = 22050
+    #: FFT size -> n_fft // 2 + 1 = 1025 linear bins.
+    n_fft: int = 2048
+    #: STFT window length in ms (Tacotron: 50 ms frame length).
+    win_len_ms: float = 50.0
+    #: STFT hop in ms (Tacotron: 12.5 ms frame shift).
+    win_hop_ms: float = 12.5
+    #: Number of mel bands.
+    n_mels: int = 80
+    #: Mel filterbank frequency range (Slaney-style filterbank, librosa default).
+    mel_fmin: float = 0.0
+    mel_fmax: float = 11025.0
+    #: Pre-emphasis coefficient.
+    preemphasis: float = 0.97
+    #: dB reference level subtracted before normalization.
+    ref_level_db: float = 20.0
+    #: dB floor used for [0, 1] normalization.
+    min_level_db: float = -100.0
+    #: Silence trimming threshold in dB below peak.
+    trim_top_db: float = 60.0
+    #: Fraction of the corpus held out for evaluation.
+    eval_fraction: float = 0.01
+    #: Maximum text length (chars, post-normalization) kept in the corpus.
+    max_text_len: int = 256
+    #: Maximum mel frames kept in the corpus (training-time cap).
+    max_frames: int = 1024
+
+    @property
+    def win_len(self) -> int:
+        return ms_to_samples(self.win_len_ms, self.sample_rate)
+
+    @property
+    def hop_len(self) -> int:
+        return ms_to_samples(self.win_hop_ms, self.sample_rate)
+
+    @property
+    def n_linear(self) -> int:
+        return self.n_fft // 2 + 1
+
+
+@dataclass(frozen=True)
+class ArchitectureConfig:
+    """Model hyperparameters (reference: `tacotron/params/architecture.py`).
+
+    Defaults follow Tacotron (arXiv 1703.10135) Table 1.
+    """
+
+    vocab_size: int = 0  # filled in from the text frontend; 0 = use charset size
+    embedding_dim: int = 256
+    # Pre-net (encoder + decoder): FC-256-ReLU -> drop -> FC-128-ReLU -> drop.
+    prenet_units: Tuple[int, ...] = (256, 128)
+    prenet_dropout: float = 0.5
+    #: Keep pre-net dropout active at inference (Tacotron-1 behaviour).
+    prenet_dropout_at_inference: bool = True
+    # Encoder CBHG.
+    encoder_bank_k: int = 16
+    encoder_bank_channels: int = 128
+    encoder_proj_channels: Tuple[int, int] = (128, 128)
+    encoder_highway_layers: int = 4
+    encoder_highway_units: int = 128
+    encoder_gru_units: int = 128  # per direction -> memory dim 256
+    # Decoder.
+    attention_units: int = 256
+    attention_gru_units: int = 256
+    decoder_gru_layers: int = 2
+    decoder_gru_units: int = 256
+    #: Reduction factor: mel frames emitted per decoder step.
+    reduction_factor: int = 5
+    # Post-processing CBHG.
+    post_bank_k: int = 8
+    post_bank_channels: int = 128
+    post_proj_channels: Tuple[int, int] = (256, 80)
+    post_highway_layers: int = 4
+    post_highway_units: int = 128
+    post_gru_units: int = 128
+    #: Weight of the linear-spectrogram L1 term focused below `loss_low_freq_hz`.
+    loss_low_freq_weight: float = 0.5
+    loss_low_freq_hz: float = 3000.0
+    #: Weight on the stop-token BCE (rebuild addition — SURVEY.md §2.2).
+    stop_token_weight: float = 1.0
+    #: Parameter / activation dtype for the compute path ("bfloat16" | "float32").
+    compute_dtype: str = "float32"
+
+
+@dataclass(frozen=True)
+class TrainingConfig:
+    """Training hyperparameters (reference: `tacotron/params/training.py`)."""
+
+    batch_size: int = 32
+    learning_rate: float = 1e-3
+    #: Step-decay schedule: lr * decay_rate ** (step / decay_steps).
+    lr_decay_steps: int = 50000
+    lr_decay_rate: float = 0.5
+    lr_min: float = 1e-5
+    adam_beta1: float = 0.9
+    adam_beta2: float = 0.999
+    adam_eps: float = 1e-8
+    grad_clip_norm: float = 1.0
+    max_steps: int = 500000
+    checkpoint_every: int = 5000
+    summary_every: int = 100
+    keep_checkpoints: int = 5
+    checkpoint_dir: str = "checkpoints"
+    #: Bucket boundaries for padded text length (static shapes per bucket).
+    text_buckets: Tuple[int, ...] = (64, 128, 192, 256)
+    #: Bucket boundaries for padded decoder-step count per text bucket.
+    frame_buckets: Tuple[int, ...] = (256, 512, 768, 1024)
+    #: Compute features (STFT/mel/dB) on device inside the train step.
+    on_device_features: bool = True
+    seed: int = 1234
+
+
+@dataclass(frozen=True)
+class EvaluationConfig:
+    """Evaluation hyperparameters (reference: `tacotron/params/evaluation.py`)."""
+
+    batch_size: int = 32
+    eval_every: int = 5000
+    num_eval_batches: int = 4
+
+
+@dataclass(frozen=True)
+class InferenceConfig:
+    """Inference hyperparameters (reference: `tacotron/params/inference.py`)."""
+
+    #: Maximum decoder steps (each emits `reduction_factor` frames).
+    max_decoder_steps: int = 200
+    #: Griffin-Lim iteration count.
+    griffin_lim_iters: int = 60
+    #: Magnitude power applied before Griffin-Lim.
+    griffin_lim_power: float = 1.35
+    #: Stop-token probability threshold.
+    stop_threshold: float = 0.5
+    #: Minimum decoder steps before the stop token can fire.
+    min_decoder_steps: int = 8
+    output_dir: str = "synthesized"
+
+
+@dataclass(frozen=True)
+class Config:
+    """Top-level bundle, mirroring the reference's five-way hparams split."""
+
+    dataset: DatasetConfig = field(default_factory=DatasetConfig)
+    arch: ArchitectureConfig = field(default_factory=ArchitectureConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    evaluation: EvaluationConfig = field(default_factory=EvaluationConfig)
+    inference: InferenceConfig = field(default_factory=InferenceConfig)
+
+    def replace(self, **sections: Any) -> "Config":
+        return dataclasses.replace(self, **sections)
+
+    def fingerprint(self) -> str:
+        """Stable JSON fingerprint stored in checkpoints for resume validation."""
+        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+
+
+def tiny_config() -> Config:
+    """A miniature config for tests and compile-check entry points."""
+    return Config(
+        dataset=DatasetConfig(n_fft=512, n_mels=20, max_text_len=32, max_frames=64),
+        arch=ArchitectureConfig(
+            embedding_dim=32,
+            prenet_units=(32, 16),
+            encoder_bank_k=4,
+            encoder_bank_channels=16,
+            encoder_proj_channels=(16, 16),
+            encoder_highway_layers=2,
+            encoder_highway_units=16,
+            encoder_gru_units=16,
+            attention_units=32,
+            attention_gru_units=32,
+            decoder_gru_layers=2,
+            decoder_gru_units=32,
+            reduction_factor=2,
+            post_bank_k=4,
+            post_bank_channels=16,
+            post_proj_channels=(32, 20),
+            post_highway_layers=2,
+            post_highway_units=16,
+            post_gru_units=16,
+        ),
+        training=TrainingConfig(batch_size=2, text_buckets=(16,), frame_buckets=(16,)),
+        inference=InferenceConfig(max_decoder_steps=8, griffin_lim_iters=4),
+    )

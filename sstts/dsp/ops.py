@@ -1,0 +1,94 @@
+"""On-device scalar/spectral conversions and the feature pipeline.
+
+TPU-native counterpart of the reference's `audio/conversion.py` +
+`audio/features.py` (SURVEY.md §2.1): pre-emphasis, magnitude<->dB,
+dB normalization, and the wav -> (linear, mel) feature extraction used both
+offline (golden tests) and inline on device in the training input path
+(SURVEY.md §3.4, BASELINE config 5).  All functions are pure, batched over
+leading dims, and jit/vmap/pjit friendly.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sstts.config import DatasetConfig
+from sstts.dsp import mel as mel_mod
+import sstts.dsp.stft as stft_mod
+
+
+def preemphasis(y: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """y'[t] = y[t] - coeff * y[t-1] (y'[0] = y[0]); batched over leading dims."""
+    shifted = jnp.pad(y[..., :-1], [(0, 0)] * (y.ndim - 1) + [(1, 0)])
+    return y - coeff * shifted
+
+
+def deemphasis(y: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """Inverse IIR x[t] = y[t] + coeff * x[t-1], as a parallel associative scan.
+
+    The recurrence is first-order linear, so instead of a 100k-step sequential
+    loop (hostile to TPU) it runs as an O(log n) `associative_scan` over
+    (decay, value) pairs.
+    """
+    a = jnp.full_like(y, coeff)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, x = jax.lax.associative_scan(combine, (a, y), axis=-1)
+    return x
+
+
+def magnitude_to_decibel(x: jnp.ndarray) -> jnp.ndarray:
+    """20 * log10(max(1e-5, x)); matches `reference.magnitude_to_decibel`."""
+    return 20.0 * jnp.log10(jnp.maximum(1e-5, x))
+
+
+def decibel_to_magnitude(db: jnp.ndarray) -> jnp.ndarray:
+    return jnp.power(10.0, db / 20.0)
+
+
+def normalize_decibel(db: jnp.ndarray, ref_db: float, min_db: float) -> jnp.ndarray:
+    return jnp.clip((db - ref_db - min_db) / (-min_db), 0.0, 1.0)
+
+
+def inv_normalize_decibel(s: jnp.ndarray, ref_db: float, min_db: float) -> jnp.ndarray:
+    return jnp.clip(s, 0.0, 1.0) * (-min_db) + min_db + ref_db
+
+
+def wav_to_features(
+    y: jnp.ndarray, cfg: DatasetConfig
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(..., n_samples) waveform -> (linear, mel) normalized spectrograms.
+
+    One STFT feeds both branches (reference computed them separately on host;
+    SURVEY.md §3.4).  Returns
+    linear: (..., n_frames, n_fft//2+1), mel: (..., n_frames, n_mels),
+    both normalized to [0, 1].
+    """
+    y = preemphasis(y.astype(jnp.float32), cfg.preemphasis)
+    spec = stft_mod.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)
+    mag = jnp.abs(spec)
+    linear = normalize_decibel(
+        magnitude_to_decibel(mag), cfg.ref_level_db, cfg.min_level_db
+    )
+    mel_mag = mel_mod.apply_mel(mag, cfg)
+    mel = normalize_decibel(
+        magnitude_to_decibel(mel_mag), cfg.ref_level_db, cfg.min_level_db
+    )
+    return linear, mel
+
+
+def linear_scale_spectrogram(y: jnp.ndarray, cfg: DatasetConfig) -> jnp.ndarray:
+    """Normalized linear spectrogram only (reference `features.py` API)."""
+    return wav_to_features(y, cfg)[0]
+
+
+def mel_scale_spectrogram(y: jnp.ndarray, cfg: DatasetConfig) -> jnp.ndarray:
+    """Normalized mel spectrogram only (reference `features.py` API)."""
+    return wav_to_features(y, cfg)[1]

@@ -1,0 +1,187 @@
+"""Golden DSP tests: on-device JAX implementations vs the float64 numpy oracle.
+
+SURVEY.md §4: assert <=1e-5 on STFT/mel/dB round-trips, <=1e-3 end-to-end."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sstts.config import Config, DatasetConfig
+from sstts.dsp import griffin_lim as gl
+from sstts.dsp import ops
+from sstts.dsp import reference as ref
+import sstts.dsp.stft as stft_mod
+
+CFG = DatasetConfig(n_fft=512, win_len_ms=50.0, win_hop_ms=12.5, sample_rate=8000, n_mels=40, mel_fmax=4000.0)
+# -> win=400, hop=100 at 8 kHz: fast tests, odd (non-divisor) sizes exercised
+# by the full-size config below.
+FULL = DatasetConfig()  # 22050 Hz, n_fft=2048, win=1102, hop=275
+
+
+def _signal(n, sr, rng):
+    t = np.arange(n) / sr
+    y = 0.5 * np.sin(2 * np.pi * 220.0 * t) + 0.3 * np.sin(2 * np.pi * 1333.0 * t)
+    y += 0.05 * rng.standard_normal(n)
+    return y.astype(np.float64)
+
+
+def test_hann_window_periodic():
+    w = ref.hann_window(8)
+    assert w[0] == 0.0
+    # Periodic window: w[k] = 0.5 - 0.5 cos(2 pi k / N).
+    np.testing.assert_allclose(w[4], 1.0, atol=1e-12)
+
+
+@pytest.mark.parametrize("cfg", [CFG, FULL], ids=["small", "full"])
+def test_stft_matches_oracle(cfg, rng):
+    n = cfg.sample_rate  # 1 second
+    y = _signal(n, cfg.sample_rate, rng)
+    want = ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)
+    got = np.asarray(stft_mod.stft(jnp.asarray(y, jnp.float32), cfg.n_fft, cfg.hop_len, cfg.win_len))
+    assert got.shape == want.shape
+    scale = np.abs(want).max()
+    np.testing.assert_allclose(got / scale, want / scale, atol=2e-5)
+
+
+@pytest.mark.parametrize("cfg", [CFG, FULL], ids=["small", "full"])
+def test_istft_roundtrip_matches_oracle(cfg, rng):
+    n = cfg.sample_rate
+    y = _signal(n, cfg.sample_rate, rng)
+    spec = ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)
+    want = ref.istft(spec, cfg.n_fft, cfg.hop_len, cfg.win_len, n)
+    got = np.asarray(
+        stft_mod.istft(jnp.asarray(spec, jnp.complex64), cfg.n_fft, cfg.hop_len, cfg.win_len, n)
+    )
+    np.testing.assert_allclose(got, want, atol=2e-5)
+    # Perfect reconstruction away from edges.
+    np.testing.assert_allclose(got[cfg.n_fft : -cfg.n_fft], y[cfg.n_fft : -cfg.n_fft], atol=1e-4)
+
+
+def test_stft_batched_matches_single(rng):
+    cfg = CFG
+    n = 4000
+    ys = np.stack([_signal(n, cfg.sample_rate, rng) for _ in range(3)]).astype(np.float32)
+    batched = np.asarray(stft_mod.stft(jnp.asarray(ys), cfg.n_fft, cfg.hop_len, cfg.win_len))
+    for i in range(3):
+        single = np.asarray(stft_mod.stft(jnp.asarray(ys[i]), cfg.n_fft, cfg.hop_len, cfg.win_len))
+        np.testing.assert_array_equal(batched[i], single)
+
+
+def test_mel_filterbank_matches_slaney_properties():
+    fb = ref.mel_filterbank(22050, 2048, 80, 0.0, 11025.0)
+    assert fb.shape == (80, 1025)
+    assert (fb >= 0).all()
+    # Every filter is non-empty and unimodal triangular.
+    assert (fb.max(axis=1) > 0).all()
+    # Slaney normalization: filter areas scale like 2/bandwidth; spot-check
+    # integral of each filter against its analytic value.
+    mel_f = ref.mel_to_hz(np.linspace(ref.hz_to_mel(0.0), ref.hz_to_mel(11025.0), 82))
+    df = 22050 / 2 / 1024
+    areas = fb.sum(axis=1) * df
+    # Triangle area = bandwidth/2, normalized by 2/bandwidth -> ~1.0.
+    np.testing.assert_allclose(areas[5:-5], 1.0, rtol=0.05)
+
+
+def test_hz_mel_roundtrip():
+    f = np.linspace(10.0, 11000.0, 257)
+    np.testing.assert_allclose(ref.mel_to_hz(ref.hz_to_mel(f)), f, rtol=1e-10)
+
+
+def test_preemphasis_matches_and_inverts(rng):
+    y = rng.standard_normal(5000).astype(np.float32)
+    want = ref.preemphasis(y, 0.97)
+    got = np.asarray(ops.preemphasis(jnp.asarray(y), 0.97))
+    np.testing.assert_allclose(got, want, atol=1e-6)
+    back = np.asarray(ops.deemphasis(jnp.asarray(got), 0.97))
+    np.testing.assert_allclose(back, y, atol=2e-4)
+    oracle_back = ref.deemphasis(want, 0.97)
+    np.testing.assert_allclose(back, oracle_back, atol=2e-4)
+
+
+def test_db_conversions_match(rng):
+    x = np.abs(rng.standard_normal((7, 13))).astype(np.float32) * 10
+    np.testing.assert_allclose(
+        np.asarray(ops.magnitude_to_decibel(jnp.asarray(x))),
+        ref.magnitude_to_decibel(x),
+        atol=1e-4,
+    )
+    db = ref.magnitude_to_decibel(x)
+    norm = ref.normalize_decibel(db, 20.0, -100.0)
+    np.testing.assert_allclose(
+        np.asarray(ops.normalize_decibel(jnp.asarray(db, jnp.float32), 20.0, -100.0)),
+        norm,
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(ops.inv_normalize_decibel(jnp.asarray(norm, jnp.float32), 20.0, -100.0)),
+        ref.inv_normalize_decibel(norm, 20.0, -100.0),
+        atol=1e-4,
+    )
+
+
+@pytest.mark.parametrize("cfg", [CFG, FULL], ids=["small", "full"])
+def test_features_match_oracle_end_to_end(cfg, rng):
+    n = cfg.sample_rate
+    y = _signal(n, cfg.sample_rate, rng)
+    pre = ref.preemphasis(y, cfg.preemphasis)
+    want_lin = ref.normalize_decibel(
+        ref.magnitude_to_decibel(
+            ref.linear_scale_spectrogram(pre, cfg.n_fft, cfg.hop_len, cfg.win_len)
+        ),
+        cfg.ref_level_db,
+        cfg.min_level_db,
+    )
+    want_mel = ref.normalize_decibel(
+        ref.magnitude_to_decibel(
+            ref.mel_scale_spectrogram(
+                pre, cfg.sample_rate, cfg.n_fft, cfg.hop_len, cfg.win_len,
+                cfg.n_mels, cfg.mel_fmin, cfg.mel_fmax,
+            )
+        ),
+        cfg.ref_level_db,
+        cfg.min_level_db,
+    )
+    lin, mel = ops.wav_to_features(jnp.asarray(y, jnp.float32), cfg)
+    # SURVEY.md acceptance gate: <=1e-3 end-to-end on normalized features.
+    assert np.abs(np.asarray(lin) - want_lin).mean() < 1e-3
+    assert np.abs(np.asarray(mel) - want_mel).mean() < 1e-3
+    assert np.abs(np.asarray(lin) - want_lin).max() < 1e-2
+
+
+def test_overlap_add_inverts_framing(rng):
+    y = rng.standard_normal((2, 3000)).astype(np.float32)
+    frames = stft_mod.frame_signal(jnp.asarray(y), 512, 100)
+    # Sum of squared-window-free OLA equals sliding sum; instead check framing
+    # content directly.
+    fr = np.asarray(frames)
+    for i in range(0, fr.shape[1], 7):
+        np.testing.assert_array_equal(fr[:, i], y[:, i * 100 : i * 100 + 512])
+
+
+def test_griffin_lim_matches_oracle(rng):
+    cfg = CFG
+    n = 4000
+    y = _signal(n, cfg.sample_rate, rng)
+    mag = np.abs(ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len))
+    want = ref.griffin_lim(mag, cfg.n_fft, cfg.hop_len, cfg.win_len, 8, n)
+    got = np.asarray(
+        gl.griffin_lim(jnp.asarray(mag, jnp.float32), cfg.n_fft, cfg.hop_len, cfg.win_len, 8, n)
+    )
+    err = np.abs(got - want).mean() / (np.abs(want).mean() + 1e-9)
+    assert err < 1e-2, err
+    # And it actually reconstructs something close to the source spectrum.
+    got_mag = np.abs(ref.stft(got.astype(np.float64), cfg.n_fft, cfg.hop_len, cfg.win_len))
+    rel = np.abs(got_mag - mag).mean() / mag.mean()
+    assert rel < 0.35, rel
+
+
+def test_spectrogram_to_wav_pipeline_runs(rng):
+    cfg = Config(dataset=CFG)
+    n = 2000
+    y = _signal(n, CFG.sample_rate, rng)
+    lin, _ = ops.wav_to_features(jnp.asarray(y, jnp.float32), CFG)
+    wav = gl.spectrogram_to_wav(lin, cfg, n)
+    wav = np.asarray(wav)
+    assert wav.shape == (n,)
+    assert np.isfinite(wav).all()
+    assert np.abs(wav).max() > 1e-3
