@@ -1,0 +1,121 @@
+"""Data layer tests: text codec, WAV I/O round-trip, corpus + batching."""
+
+import numpy as np
+import pytest
+
+from sstts.config import Config, DatasetConfig, TrainingConfig
+from sstts.data import pipeline, synthetic
+from sstts.data import text as text_mod
+from sstts.data import wav as wav_mod
+from sstts.data.ljspeech import load_metadata, train_eval_split
+
+
+def test_text_roundtrip():
+    s = "Hello, World!  This is   test #42."
+    norm = text_mod.normalize(s)
+    assert norm == 'hello, world! this is test 42.'
+    ids = text_mod.encode(s)
+    assert ids[-1] == text_mod.EOS_ID
+    assert text_mod.decode(ids) == norm
+
+
+def test_text_abbreviations_and_unicode():
+    assert text_mod.normalize("Dr. Smith") == "doctor smith"
+    assert text_mod.normalize("café naïve") == "cafe naive"
+
+
+def test_text_padding_truncation():
+    ids = text_mod.encode("abc", max_len=8)
+    assert ids.shape == (8,)
+    assert ids[3] == text_mod.EOS_ID and ids[4] == text_mod.PAD_ID
+    ids = text_mod.encode("abcdefghij", max_len=5)
+    assert ids.shape == (5,) and ids[-1] == text_mod.EOS_ID
+
+
+def test_wav_roundtrip(tmp_path, rng):
+    y = (0.8 * np.sin(np.linspace(0, 100, 5000))).astype(np.float32)
+    p = tmp_path / "t.wav"
+    wav_mod.save_wav(p, y, 22050)
+    back, sr = wav_mod.load_wav(p)
+    assert sr == 22050
+    # PCM16 quantization: rounding (2^-16) + 32767/32768 scale skew.
+    np.testing.assert_allclose(back, y, atol=1.0 / 16384)
+
+
+def test_wav_stereo_downmix(tmp_path):
+    # Hand-craft a stereo PCM16 file.
+    import struct
+    sr = 8000
+    left = np.full(100, 0.5)
+    right = np.full(100, -0.1)
+    inter = np.empty(200, dtype=np.float32)
+    inter[0::2], inter[1::2] = left, right
+    pcm = (inter * 32767).astype("<i2").tobytes()
+    hdr = b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+    hdr += b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, sr, sr * 4, 4, 16)
+    hdr += b"data" + struct.pack("<I", len(pcm))
+    p = tmp_path / "s.wav"
+    p.write_bytes(hdr + pcm)
+    y, got_sr = wav_mod.load_wav(p)
+    assert got_sr == sr and y.shape == (100,)
+    np.testing.assert_allclose(y, 0.2, atol=1e-3)
+
+
+def test_synthetic_corpus_materialize_and_load(tmp_path):
+    ds = DatasetConfig(dataset_dir=str(tmp_path / "corpus"))
+    synthetic.materialize_corpus(ds.dataset_dir, 12, ds)
+    utts = load_metadata(ds)
+    assert len(utts) == 12
+    train, evals = train_eval_split(utts, 0.25)
+    assert len(train) + len(evals) == 12
+    assert len(evals) >= 1
+    # Split is deterministic.
+    train2, evals2 = train_eval_split(utts, 0.25)
+    assert [u.uid for u in evals] == [u.uid for u in evals2]
+
+
+def _tiny_training_cfg():
+    return Config(
+        dataset=DatasetConfig(n_fft=512, sample_rate=8000, n_mels=20, mel_fmax=4000.0),
+        training=TrainingConfig(
+            batch_size=2, text_buckets=(32, 64), frame_buckets=(64, 128)
+        ),
+    )
+
+
+def test_batcher_static_shapes():
+    cfg = _tiny_training_cfg()
+    utts = synthetic.make_utterances(10, cfg.dataset, min_words=1, max_words=3)
+    b = pipeline.Batcher(utts, cfg)
+    shapes = pipeline.frame_bucket_shapes(cfg)
+    r = cfg.arch.reduction_factor
+    seen = 0
+    for bucket, batch in b.epoch(seed=0, batch_size=2):
+        lt, fr = shapes[bucket]
+        assert fr % r == 0
+        assert batch["char_ids"].shape == (2, lt)
+        assert batch["samples"].shape == (2, (fr - 1) * cfg.dataset.hop_len)
+        assert (batch["n_frames"] <= fr).all()
+        assert (batch["loss_frames"] <= batch["n_frames"]).all()
+        assert (batch["text_len"] > 0).all()
+        # Padding beyond text_len is PAD_ID.
+        for i in range(2):
+            assert (batch["char_ids"][i, batch["text_len"][i]:] == 0).all()
+        seen += 1
+    assert seen >= 2
+
+
+def test_batcher_frame_counts_match_stft():
+    cfg = _tiny_training_cfg()
+    utts = synthetic.make_utterances(4, cfg.dataset, min_words=1, max_words=2)
+    b = pipeline.Batcher(utts, cfg)
+    for bucket, batch in b.epoch(seed=1, batch_size=2):
+        import sstts.dsp.stft as stft_mod
+        import jax.numpy as jnp
+        spec = stft_mod.stft(
+            jnp.asarray(batch["samples"]), cfg.dataset.n_fft,
+            cfg.dataset.hop_len, cfg.dataset.win_len,
+        )
+        lt, fr = pipeline.frame_bucket_shapes(cfg)[bucket]
+        assert spec.shape[-2] == fr
+        break
