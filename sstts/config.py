@@ -96,6 +96,9 @@ class ArchitectureConfig:
     encoder_highway_units: int = 128
     encoder_gru_units: int = 128  # per direction -> memory dim 256
     # Decoder.
+    #: "bahdanau" (reference default) or "local_luong" (thesis variant).
+    attention_type: str = "bahdanau"
+    local_attention_window: int = 16
     attention_units: int = 256
     attention_gru_units: int = 256
     decoder_gru_layers: int = 2

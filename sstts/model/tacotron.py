@@ -1,0 +1,175 @@
+"""The Tacotron model: encoder, decoder scans, post-processing net.
+
+Counterpart of the reference's `tacotron/model.py` graph-builder class
+(SURVEY.md §2.2), re-expressed as a flax module whose training forward is one
+jittable function and whose inference forward is one fixed-shape compiled
+program (including the autoregressive scan — SURVEY.md §3.2).
+
+Architecture (Tacotron, arXiv 1703.10135):
+char embedding -> pre-net -> CBHG encoder -> (Bahdanau-attention GRU +
+residual GRU stack, r frames/step) -> post-CBHG -> linear spectrogram.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from sstts.config import ArchitectureConfig, DatasetConfig
+from sstts.data.text import VOCAB_SIZE
+from sstts.model.decoder import DecoderCell, StepOutput, teacher_inputs
+from sstts.model.modules import CBHG, PreNet
+
+
+class Tacotron(nn.Module):
+    arch: ArchitectureConfig
+    data: DatasetConfig
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self) -> None:
+        a = self.arch
+        vocab = a.vocab_size or VOCAB_SIZE
+        self.embedding = nn.Embed(vocab, a.embedding_dim, dtype=self.dtype)
+        # Encoder pre-net: dropout at train time only (decoder pre-net keeps
+        # dropout at inference, per Tacotron-1 — that flag lives in the cell).
+        self.encoder_prenet = PreNet(
+            a.prenet_units, a.prenet_dropout, always_dropout=False,
+            dtype=self.dtype, name="encoder_prenet",
+        )
+        self.encoder_cbhg = CBHG(
+            a.encoder_bank_k, a.encoder_bank_channels, a.encoder_proj_channels,
+            a.encoder_highway_layers, a.encoder_highway_units, a.encoder_gru_units,
+            dtype=self.dtype, name="encoder_cbhg",
+        )
+        self.decoder_cell = DecoderCell(a, self.data.n_mels, dtype=self.dtype)
+        self.post_cbhg = CBHG(
+            a.post_bank_k, a.post_bank_channels, a.post_proj_channels,
+            a.post_highway_layers, a.post_highway_units, a.post_gru_units,
+            dtype=self.dtype, name="post_cbhg",
+        )
+        self.linear_proj = nn.Dense(self.data.n_linear, dtype=self.dtype)
+
+    # ------------------------------------------------------------------ #
+
+    def encode(
+        self, char_ids: jnp.ndarray, train: bool = True
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """(B, T) ids -> memory (B, T, 2*enc_gru), mask (B, T)."""
+        mask = char_ids != 0
+        x = self.embedding(char_ids)
+        x = self.encoder_prenet(x, train=train)
+        memory = self.encoder_cbhg(x, mask, train=train)
+        return memory, mask
+
+    def decode_teacher(
+        self,
+        memory: jnp.ndarray,
+        memory_mask: jnp.ndarray,
+        mel_gt: jnp.ndarray,
+        train: bool = True,
+    ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+        """Teacher-forced scan -> (mel (B,F,M), stop_logits (B,F), align (B,S,T))."""
+        r = self.arch.reduction_factor
+        inputs = teacher_inputs(mel_gt, r)  # (B, S, M)
+        batch, steps, _ = inputs.shape
+        keys = self.decoder_cell.init_keys(memory)
+        carry0 = self.decoder_cell.init_carry(
+            batch, memory.shape[1], memory.shape[-1]
+        )
+
+        def step(cell: DecoderCell, carry, frame):
+            return cell(carry, frame, memory, keys, memory_mask, train)
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=1,
+            out_axes=1,
+        )
+        _, out = scan(self.decoder_cell, carry0, inputs)
+        mel = out.mel.reshape(batch, steps * r, self.data.n_mels)
+        stops = out.stop_logits.reshape(batch, steps * r)
+        return mel, stops, out.alignment
+
+    def decode_infer(
+        self,
+        memory: jnp.ndarray,
+        memory_mask: jnp.ndarray,
+        max_steps: int,
+        stop_threshold: float = 0.5,
+        min_steps: int = 8,
+    ) -> Dict[str, jnp.ndarray]:
+        """Autoregressive fixed-shape scan with stop-token mask accumulation.
+
+        Returns mel (B, max_steps*r, M), stop_logits, alignments (B, S, T),
+        n_frames (B,) — the per-utterance emitted frame count.
+        """
+        r = self.arch.reduction_factor
+        batch = memory.shape[0]
+        keys = self.decoder_cell.init_keys(memory)
+        carry0 = self.decoder_cell.init_carry(
+            batch, memory.shape[1], memory.shape[-1]
+        )
+
+        def step(cell: DecoderCell, carry, step_idx):
+            new_carry, out = cell(
+                carry, None, memory, keys, memory_mask,
+                train=False, stop_threshold=stop_threshold,
+            )
+            fin = jnp.logical_and(new_carry.finished, step_idx >= min_steps - 1)
+            fin = jnp.logical_or(carry.finished, fin)
+            return new_carry._replace(finished=fin), out
+
+        scan = nn.scan(
+            step,
+            variable_broadcast="params",
+            split_rngs={"params": False, "dropout": True},
+            in_axes=0,
+            out_axes=1,
+        )
+        _, out = scan(self.decoder_cell, carry0, jnp.arange(max_steps))
+        mel = out.mel.reshape(batch, max_steps * r, self.data.n_mels)
+        stops = out.stop_logits.reshape(batch, max_steps * r)
+        # out.finished[b, s] == True means step s emitted masked silence.
+        emitted_steps = jnp.sum(~out.finished, axis=1)
+        return {
+            "mel": mel,
+            "stop_logits": stops,
+            "alignments": out.alignment,
+            "n_frames": emitted_steps * r,
+        }
+
+    def postprocess(
+        self,
+        mel: jnp.ndarray,
+        frame_mask: Optional[jnp.ndarray],
+        train: bool = True,
+    ) -> jnp.ndarray:
+        """Predicted mel -> linear spectrogram via the post-processing CBHG."""
+        y = self.post_cbhg(mel, frame_mask, train=train)
+        return self.linear_proj(y)
+
+    # ------------------------------------------------------------------ #
+
+    def __call__(
+        self,
+        char_ids: jnp.ndarray,
+        mel_gt: jnp.ndarray,
+        frame_mask: Optional[jnp.ndarray] = None,
+        train: bool = True,
+    ) -> Dict[str, Any]:
+        """Teacher-forced training forward (creates every parameter)."""
+        memory, memory_mask = self.encode(char_ids, train=train)
+        mel, stops, alignments = self.decode_teacher(
+            memory, memory_mask, mel_gt, train=train
+        )
+        linear = self.postprocess(mel, frame_mask, train=train)
+        return {
+            "mel": mel,
+            "linear": linear,
+            "stop_logits": stops,
+            "alignments": alignments,
+        }

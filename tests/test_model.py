@@ -1,0 +1,199 @@
+"""Model tests (SURVEY.md §4): shape/mask invariance, scan-vs-loop
+equivalence, stop-token masking, gradient health."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sstts.config import tiny_config
+from sstts.model import Tacotron, tacotron_loss
+from sstts.model.decoder import DecoderCell, teacher_inputs
+from sstts.model.losses import frame_mask_from_lengths, stop_targets
+from sstts.model.rnn import GRUCell, UnidirectionalGRU
+
+
+@pytest.fixture(scope="module")
+def setup():
+    cfg = tiny_config()
+    # Deterministic inference for invariance/equivalence tests.
+    cfg = cfg.replace(
+        arch=dataclasses.replace(cfg.arch, prenet_dropout_at_inference=False)
+    )
+    model = Tacotron(cfg.arch, cfg.dataset)
+    rng = jax.random.PRNGKey(0)
+    B, L, F = 2, 16, 16
+    ids = np.zeros((B, L), np.int32)
+    ids[0, :7] = [2, 3, 4, 5, 6, 7, 1]
+    ids[1, :4] = [9, 10, 11, 1]
+    ids = jnp.asarray(ids)
+    mel = jax.random.uniform(jax.random.PRNGKey(1), (B, F, cfg.dataset.n_mels))
+    variables = model.init(
+        {"params": rng, "dropout": rng}, ids, mel,
+        frame_mask_from_lengths(jnp.array([F, F]), F), train=True,
+    )
+    return cfg, model, variables, ids, mel
+
+
+def test_forward_shapes(setup):
+    cfg, model, variables, ids, mel = setup
+    out = model.apply(variables, ids, mel, None, train=False)
+    B, F = mel.shape[:2]
+    assert out["mel"].shape == (B, F, cfg.dataset.n_mels)
+    assert out["linear"].shape == (B, F, cfg.dataset.n_linear)
+    assert out["stop_logits"].shape == (B, F)
+    S = F // cfg.arch.reduction_factor
+    assert out["alignments"].shape == (B, S, ids.shape[1])
+    # Alignments are a distribution over valid encoder positions.
+    sums = np.asarray(out["alignments"].sum(-1))
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+    # No attention mass on padded positions.
+    mass_on_pad = np.asarray(out["alignments"][:, :, 8:]).max()
+    assert mass_on_pad < 1e-6
+
+
+def test_padded_batch_invariance(setup):
+    """A padded batch must produce the same per-example outputs as batch=1."""
+    cfg, model, variables, ids, mel = setup
+    out_batch = model.apply(variables, ids, mel, None, train=False)
+    for b in range(2):
+        out_single = model.apply(variables, ids[b : b + 1], mel[b : b + 1], None, train=False)
+        np.testing.assert_allclose(
+            np.asarray(out_single["mel"][0]),
+            np.asarray(out_batch["mel"][b]),
+            atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            np.asarray(out_single["linear"][0]),
+            np.asarray(out_batch["linear"][b]),
+            atol=1e-5,
+        )
+
+
+def test_text_padding_invariance(setup):
+    """Extending text padding must not change outputs (mask correctness)."""
+    cfg, model, variables, ids, mel = setup
+    wide = jnp.pad(ids, ((0, 0), (0, 16)))
+    out = model.apply(variables, ids, mel, None, train=False)
+    out_wide = model.apply(variables, wide, mel, None, train=False)
+    np.testing.assert_allclose(
+        np.asarray(out_wide["mel"]), np.asarray(out["mel"]), atol=1e-5
+    )
+
+
+def test_gru_scan_matches_python_loop(setup):
+    """lax.scan GRU == step-by-step cell application (SURVEY.md §4)."""
+    rng = jax.random.PRNGKey(3)
+    B, T, D, H = 2, 5, 4, 6
+    xs = jax.random.normal(rng, (B, T, D))
+    gru = UnidirectionalGRU(H)
+    vs = gru.init(rng, xs)
+    ys = gru.apply(vs, xs)
+    cell = GRUCell(H)
+    cell_vs = {"params": vs["params"]["cell"]}
+    h = jnp.zeros((B, H))
+    for t in range(T):
+        h, out = cell.apply(cell_vs, h, (xs[:, t], None))
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ys[:, t]), atol=1e-6)
+
+
+def test_decoder_scan_matches_python_loop(setup):
+    cfg, model, variables, ids, mel = setup
+    memory, mmask = model.apply(variables, ids, train=False, method=Tacotron.encode)
+    mel_pred, stops, aligns = model.apply(
+        variables, memory, mmask, mel, train=False, method=Tacotron.decode_teacher
+    )
+    # Re-run the same computation with a hand-written Python loop over the cell.
+    cell = DecoderCell(cfg.arch, cfg.dataset.n_mels)
+    cell_vs = {"params": variables["params"]["decoder_cell"]}
+    r = cfg.arch.reduction_factor
+    inputs = teacher_inputs(mel, r)
+    keys = cell.apply(cell_vs, memory, method=DecoderCell.init_keys)
+    carry = cell.apply(
+        cell_vs, memory.shape[0], memory.shape[1], memory.shape[-1],
+        method=DecoderCell.init_carry,
+    )
+    outs = []
+    for s in range(inputs.shape[1]):
+        carry, out = cell.apply(
+            cell_vs, carry, inputs[:, s], memory, keys, mmask, False
+        )
+        outs.append(out.mel)
+    loop_mel = jnp.concatenate(outs, axis=1).reshape(mel_pred.shape)
+    np.testing.assert_allclose(np.asarray(loop_mel), np.asarray(mel_pred), atol=1e-5)
+
+
+def test_infer_stops_at_min_steps_when_threshold_zero(setup):
+    cfg, model, variables, ids, mel = setup
+    memory, mmask = model.apply(variables, ids, train=False, method=Tacotron.encode)
+    res = model.apply(
+        variables, memory, mmask, 8, 0.0, 3, method=Tacotron.decode_infer
+    )
+    r = cfg.arch.reduction_factor
+    # threshold 0 -> sigmoid(x) > 0 always -> every utterance stops right at
+    # min_steps (3), having emitted 3 groups.
+    np.testing.assert_array_equal(np.asarray(res["n_frames"]), 3 * r)
+    # Frames after the stop are masked to silence.
+    assert np.abs(np.asarray(res["mel"][:, 3 * r :, :])).max() == 0.0
+
+
+def test_infer_runs_to_max_steps_when_threshold_one(setup):
+    cfg, model, variables, ids, mel = setup
+    memory, mmask = model.apply(variables, ids, train=False, method=Tacotron.encode)
+    res = model.apply(
+        variables, memory, mmask, 6, 1.1, 1, method=Tacotron.decode_infer
+    )
+    np.testing.assert_array_equal(
+        np.asarray(res["n_frames"]), 6 * cfg.arch.reduction_factor
+    )
+
+
+def test_loss_and_gradients_finite(setup):
+    cfg, model, variables, ids, mel = setup
+    linear_gt = jax.random.uniform(
+        jax.random.PRNGKey(2), (2, mel.shape[1], cfg.dataset.n_linear)
+    )
+    lengths = jnp.array([16, 12])
+
+    def loss_fn(params):
+        out, _ = model.apply(
+            {"params": params, "batch_stats": variables["batch_stats"]},
+            ids, mel, frame_mask_from_lengths(lengths, mel.shape[1]),
+            train=True, rngs={"dropout": jax.random.PRNGKey(9)},
+            mutable=["batch_stats"],
+        )
+        loss, metrics = tacotron_loss(
+            out, mel, linear_gt, lengths, cfg.arch, cfg.dataset
+        )
+        return loss, metrics
+
+    (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        variables["params"]
+    )
+    assert np.isfinite(float(loss))
+    flat = jax.tree.leaves(grads)
+    assert all(np.isfinite(np.asarray(g)).all() for g in flat)
+    # Every parameter receives gradient signal somewhere.
+    nonzero = sum(float(np.abs(np.asarray(g)).sum()) > 0 for g in flat)
+    assert nonzero / len(flat) > 0.9
+
+
+def test_stop_targets():
+    t = stop_targets(jnp.array([3, 5]), 6)
+    np.testing.assert_array_equal(
+        np.asarray(t), [[0, 0, 1, 1, 1, 1], [0, 0, 0, 0, 1, 1]]
+    )
+
+
+def test_local_luong_attention_variant(setup):
+    cfg, _, _, ids, mel = setup
+    arch = dataclasses.replace(cfg.arch, attention_type="local_luong")
+    model = Tacotron(arch, cfg.dataset)
+    rng = jax.random.PRNGKey(0)
+    variables = model.init({"params": rng, "dropout": rng}, ids, mel, None, train=True)
+    out = model.apply(variables, ids, mel, None, train=False)
+    assert np.isfinite(np.asarray(out["mel"])).all()
+    sums = np.asarray(out["alignments"].sum(-1))
+    np.testing.assert_allclose(sums, 1.0, atol=1e-5)
