@@ -1,0 +1,131 @@
+"""Command-line interface (reference entry scripts, SURVEY.md §2.5).
+
+    python -m sstts.cli train      --workdir runs/lj [--set training.batch_size=16]
+    python -m sstts.cli evaluate   --workdir runs/lj [--synthesize 4]
+    python -m sstts.cli synthesize --workdir runs/lj --text "hello world" --out out.wav
+
+Config overrides use dotted paths into the five hparam sections
+(`--set dataset.dataset_dir=/data/LJSpeech-1.1`), mirroring the reference's
+params modules."""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import dataclasses
+import sys
+from typing import List
+
+from sstts.config import Config
+
+
+def apply_overrides(cfg: Config, overrides: List[str]) -> Config:
+    sections = {f.name: getattr(cfg, f.name) for f in dataclasses.fields(cfg)}
+    for item in overrides:
+        if "=" not in item:
+            raise SystemExit(f"--set expects section.key=value, got: {item}")
+        path, raw = item.split("=", 1)
+        parts = path.split(".")
+        if len(parts) != 2 or parts[0] not in sections:
+            raise SystemExit(
+                f"--set path must be one of "
+                f"{sorted(sections)}.<field>, got: {path}"
+            )
+        section, key = parts
+        obj = sections[section]
+        if not any(f.name == key for f in dataclasses.fields(obj)):
+            raise SystemExit(f"unknown field {key!r} in config section {section!r}")
+        try:
+            value = ast.literal_eval(raw)
+        except (ValueError, SyntaxError):
+            value = raw  # plain string
+        current = getattr(obj, key)
+        if current is not None and not isinstance(value, type(current)):
+            if isinstance(current, float) and isinstance(value, int):
+                value = float(value)
+            elif isinstance(current, tuple) and isinstance(value, (list, tuple)):
+                value = tuple(value)
+        sections[section] = dataclasses.replace(obj, **{key: value})
+    return Config(**sections)
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="sstts", description=__doc__)
+    sub = p.add_subparsers(dest="command", required=True)
+
+    def common(sp):
+        sp.add_argument("--workdir", default="runs/default")
+        sp.add_argument(
+            "--set", dest="overrides", action="append", default=[],
+            metavar="SECTION.KEY=VALUE", help="config override (repeatable)",
+        )
+
+    t = sub.add_parser("train", help="train a model")
+    common(t)
+    t.add_argument("--max-steps", type=int, default=None)
+
+    e = sub.add_parser("evaluate", help="evaluate the latest checkpoint")
+    common(e)
+    e.add_argument("--num-batches", type=int, default=None)
+    e.add_argument("--synthesize", type=int, default=0, metavar="N",
+                   help="also synthesize N eval utterances to WAV")
+
+    s = sub.add_parser("synthesize", help="text -> WAV from a checkpoint")
+    common(s)
+    s.add_argument("--text", required=True, action="append",
+                   help="text to synthesize (repeatable for a batch)")
+    s.add_argument("--out", default=None, help="output WAV path (single text)")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    cfg = apply_overrides(Config(), args.overrides)
+
+    if args.command == "train":
+        from sstts.train import train
+
+        train(cfg, workdir=args.workdir, max_steps=args.max_steps)
+        return 0
+
+    if args.command == "evaluate":
+        from sstts.evaluate import evaluate
+
+        metrics = evaluate(
+            cfg, args.workdir, args.num_batches, synthesize_count=args.synthesize
+        )
+        print({k: round(v, 5) for k, v in metrics.items()})
+        return 0
+
+    if args.command == "synthesize":
+        import jax
+
+        from sstts.checkpoint import CheckpointManager
+        from sstts.synthesize import Synthesizer
+        from sstts.train import create_state
+
+        ckpt = CheckpointManager(cfg, args.workdir)
+        step, state = ckpt.restore_latest(jax.device_get(create_state(cfg)))
+        if step is None:
+            print(f"no checkpoint under {args.workdir}", file=sys.stderr)
+            return 1
+        synth = Synthesizer(cfg, state.params, state.batch_stats)
+        from pathlib import Path
+
+        outdir = Path(args.workdir) / cfg.inference.output_dir
+        for i, text in enumerate(args.text):
+            out = (
+                Path(args.out)
+                if args.out and len(args.text) == 1
+                else outdir / f"synthesis_{i}.wav"
+            )
+            path = synth.to_file(text, out)
+            print(f"wrote {path}")
+        ckpt.close()
+        return 0
+
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -189,8 +189,19 @@ class Config:
         return dataclasses.replace(self, **sections)
 
     def fingerprint(self) -> str:
-        """Stable JSON fingerprint stored in checkpoints for resume validation."""
-        return json.dumps(dataclasses.asdict(self), sort_keys=True)
+        """Stable JSON fingerprint stored in checkpoints for resume validation.
+
+        Covers only the sections that define the trained state (dataset +
+        architecture): inference/evaluation/training knobs may be freely
+        overridden when restoring a checkpoint.
+        """
+        return json.dumps(
+            {
+                "dataset": dataclasses.asdict(self.dataset),
+                "arch": dataclasses.asdict(self.arch),
+            },
+            sort_keys=True,
+        )
 
 
 def tiny_config() -> Config:

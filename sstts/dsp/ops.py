@@ -14,6 +14,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sstts.config import DatasetConfig
 from sstts.dsp import mel as mel_mod
@@ -26,13 +27,63 @@ def preemphasis(y: jnp.ndarray, coeff: float) -> jnp.ndarray:
     return y - coeff * shifted
 
 
-def deemphasis(y: jnp.ndarray, coeff: float) -> jnp.ndarray:
-    """Inverse IIR x[t] = y[t] + coeff * x[t-1], as a parallel associative scan.
+def deemphasis(y: jnp.ndarray, coeff: float, block: int = 256) -> jnp.ndarray:
+    """Inverse IIR x[t] = y[t] + coeff * x[t-1], block-parallel and exact.
 
-    The recurrence is first-order linear, so instead of a 100k-step sequential
-    loop (hostile to TPU) it runs as an O(log n) `associative_scan` over
-    (decay, value) pairs.
+    TPU-native formulation of the first-order recurrence: split the signal
+    into `block`-sample blocks; within a block the zero-state response is one
+    (block x block) lower-triangular Toeplitz matmul (MXU, f32); the block
+    boundary states follow s_b = coeff^block * s_{b-1} + e_b — a tiny
+    associative scan over n_blocks elements.  One matmul + one short scan:
+    compiles in milliseconds and runs at MXU speed, where a per-sample
+    `lax.scan` is sequential death and a full-length `associative_scan` took
+    50+ s of XLA compile at 220k samples.
     """
+    if coeff == 0.0:
+        return y
+    n = y.shape[-1]
+    n_blocks = -(-n // block)
+    pad = n_blocks * block - n
+    x = jnp.pad(y.astype(jnp.float32), [(0, 0)] * (y.ndim - 1) + [(0, pad)])
+    batch = x.shape[:-1]
+    x = x.reshape(*batch, n_blocks, block)
+    # T[i, j] = coeff^(i-j) for i >= j: zero-state in-block response.
+    i = np.arange(block)
+    toeplitz = np.where(
+        i[:, None] >= i[None, :],
+        np.power(float(coeff), (i[:, None] - i[None, :]).astype(np.float64)),
+        0.0,
+    ).astype(np.float32)
+    zs = jnp.einsum(
+        "...nl,lm->...nm",
+        x,
+        jnp.asarray(toeplitz.T),
+        precision=jax.lax.Precision.HIGHEST,
+    )
+    # Boundary states: s_b = coeff^block * s_{b-1} + zs[..., b, -1].
+    decay = float(coeff) ** block
+    e = zs[..., -1]  # (..., n_blocks)
+    a = jnp.full_like(e, decay)
+
+    def combine(left, right):
+        a1, b1 = left
+        a2, b2 = right
+        return a1 * a2, a2 * b1 + b2
+
+    _, s = jax.lax.associative_scan(combine, (a, e), axis=-1)
+    # Block b sees carry s_{b-1}, decayed by coeff^(t+1) inside the block.
+    s_prev = jnp.pad(s[..., :-1], [(0, 0)] * (s.ndim - 1) + [(1, 0)])
+    ramp = jnp.asarray(
+        (float(coeff) ** np.arange(1, block + 1, dtype=np.float64)).astype(
+            np.float32
+        )
+    )
+    out = zs + s_prev[..., None] * ramp
+    return out.reshape(*batch, n_blocks * block)[..., :n]
+
+
+def deemphasis_exact(y: jnp.ndarray, coeff: float) -> jnp.ndarray:
+    """Exact parallel-scan de-emphasis (oracle for `deemphasis`)."""
     a = jnp.full_like(y, coeff)
 
     def combine(left, right):

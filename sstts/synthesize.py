@@ -1,0 +1,141 @@
+"""Inference program: text -> mel -> linear -> Griffin-Lim -> WAV.
+
+Counterpart of the reference's `tacotron/inference.py` (SURVEY.md §3.2), with
+the whole pipeline — encoder, fixed-shape autoregressive decoder scan with
+stop-token masking, post-CBHG, and the 60-iteration Griffin-Lim loop —
+compiled into ONE XLA program per (batch, text_bucket, max_steps) shape.
+Device boundary only at text-in / samples-out (the BASELINE north star).
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sstts.config import Config
+from sstts.data import text as text_mod
+from sstts.data import wav as wav_mod
+from sstts.dsp.griffin_lim import spectrogram_to_wav
+from sstts.model.losses import frame_mask_from_lengths
+from sstts.model.tacotron import Tacotron
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+class Synthesizer:
+    """Compiled text->WAV synthesis with shape bucketing.
+
+    One compiled program per (batch, text_len, max_steps) combination; repeat
+    calls with same-bucket inputs reuse the compilation (SURVEY.md §3.2).
+    """
+
+    def __init__(
+        self,
+        cfg: Config,
+        params: Any,
+        batch_stats: Any,
+        seed: int = 0,
+    ):
+        self.cfg = cfg
+        self.model = Tacotron(cfg.arch, cfg.dataset)
+        self.variables = {"params": params, "batch_stats": batch_stats}
+        self._rng = jax.random.PRNGKey(seed)
+        self._program = jax.jit(
+            self._synthesize_fn, static_argnames=("max_steps",)
+        )
+
+    # The jitted pipeline -------------------------------------------------- #
+
+    def _synthesize_fn(
+        self, variables, char_ids: jnp.ndarray, rng, max_steps: int
+    ) -> Dict[str, jnp.ndarray]:
+        cfg = self.cfg
+        memory, mmask = self.model.apply(
+            variables, char_ids, False, method=Tacotron.encode,
+            rngs={"dropout": rng},
+        )
+        dec = self.model.apply(
+            variables, memory, mmask, max_steps,
+            cfg.inference.stop_threshold, cfg.inference.min_decoder_steps,
+            method=Tacotron.decode_infer, rngs={"dropout": rng},
+        )
+        mel = dec["mel"]
+        total_frames = mel.shape[1]
+        frame_mask = frame_mask_from_lengths(dec["n_frames"], total_frames)
+        linear = self.model.apply(
+            variables, mel, frame_mask, False, method=Tacotron.postprocess,
+        )
+        # Silence (= 0 in normalized dB) beyond each utterance's stop frame.
+        linear = jnp.where(frame_mask[..., None], linear, 0.0)
+        length = (total_frames - 1) * cfg.dataset.hop_len
+        wav = spectrogram_to_wav(linear, cfg, length)
+        return {
+            "wav": wav,
+            "n_samples": jnp.minimum(dec["n_frames"] * cfg.dataset.hop_len, length),
+            "mel": mel,
+            "linear": linear,
+            "alignments": dec["alignments"],
+            "n_frames": dec["n_frames"],
+        }
+
+    # Host-side API -------------------------------------------------------- #
+
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        max_steps: Optional[int] = None,
+        text_bucket: Optional[int] = None,
+        full_output: bool = False,
+    ) -> List[np.ndarray] | Tuple[List[np.ndarray], Dict[str, np.ndarray]]:
+        """Texts -> list of float32 waveforms (trimmed to each stop token)."""
+        cfg = self.cfg
+        max_steps = max_steps or cfg.inference.max_decoder_steps
+        encoded = [text_mod.encode(t) for t in texts]
+        longest = max(len(e) for e in encoded)
+        bucket = text_bucket or min(_round_up(longest, 32), cfg.dataset.max_text_len)
+        ids = np.zeros((len(texts), max(bucket, longest)), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+        self._rng, rng = jax.random.split(self._rng)
+        out = self._program(
+            self.variables, jnp.asarray(ids), rng, max_steps=max_steps
+        )
+        if not full_output:
+            # Only the waveform crosses the device boundary (the linear/mel
+            # tensors are an order of magnitude larger than the audio).
+            out = {k: out[k] for k in ("wav", "n_samples")}
+        out = jax.device_get(out)
+        wavs = [
+            np.asarray(out["wav"][i, : int(out["n_samples"][i])])
+            for i in range(len(texts))
+        ]
+        if full_output:
+            return wavs, out
+        return wavs
+
+    def synthesize(self, text: str, **kw) -> np.ndarray:
+        return self.synthesize_batch([text], **kw)[0]
+
+    def to_file(self, text: str, path: str | Path, **kw) -> Path:
+        wav = self.synthesize(text, **kw)
+        path = Path(path)
+        path.parent.mkdir(parents=True, exist_ok=True)
+        wav_mod.save_wav(path, wav, self.cfg.dataset.sample_rate)
+        return path
+
+
+def synthesize(
+    text: str,
+    cfg: Config,
+    params: Any,
+    batch_stats: Any,
+    **kw,
+) -> np.ndarray:
+    """One-shot public API: text -> waveform (reference `inference.py`)."""
+    return Synthesizer(cfg, params, batch_stats).synthesize(text, **kw)

@@ -92,10 +92,19 @@ def test_preemphasis_matches_and_inverts(rng):
     want = ref.preemphasis(y, 0.97)
     got = np.asarray(ops.preemphasis(jnp.asarray(y), 0.97))
     np.testing.assert_allclose(got, want, atol=1e-6)
-    back = np.asarray(ops.deemphasis(jnp.asarray(got), 0.97))
-    np.testing.assert_allclose(back, y, atol=2e-4)
     oracle_back = ref.deemphasis(want, 0.97)
-    np.testing.assert_allclose(back, oracle_back, atol=2e-4)
+    # Block-parallel (production) and associative-scan (oracle) inverses.
+    for fn in (ops.deemphasis, ops.deemphasis_exact):
+        back = np.asarray(fn(jnp.asarray(got), 0.97))
+        np.testing.assert_allclose(back, y, atol=2e-4)
+        np.testing.assert_allclose(back, oracle_back, atol=2e-4)
+
+
+def test_deemphasis_block_matches_exact_batched(rng):
+    y = rng.standard_normal((3, 7001)).astype(np.float32)  # non-multiple of block
+    a = np.asarray(ops.deemphasis(jnp.asarray(y), 0.97))
+    b = np.asarray(ops.deemphasis_exact(jnp.asarray(y), 0.97))
+    np.testing.assert_allclose(a, b, atol=5e-4)
 
 
 def test_db_conversions_match(rng):

@@ -1,0 +1,84 @@
+"""Synthesis pipeline tests: compiled text->WAV program, bucketing, CLI."""
+
+import dataclasses
+
+import jax
+import numpy as np
+import pytest
+
+from sstts.cli import apply_overrides
+from sstts.config import Config, tiny_config
+from sstts.synthesize import Synthesizer
+from sstts.train import create_state
+
+
+@pytest.fixture(scope="module")
+def synth():
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(
+            cfg.dataset, dataset="synthetic", sample_rate=8000, mel_fmax=4000.0
+        ),
+        inference=dataclasses.replace(
+            cfg.inference, max_decoder_steps=6, griffin_lim_iters=3,
+            min_decoder_steps=2,
+        ),
+    )
+    state = jax.device_get(create_state(cfg))
+    return cfg, Synthesizer(cfg, state.params, state.batch_stats)
+
+
+def test_synthesize_single(synth):
+    cfg, s = synth
+    wav = s.synthesize("hello world")
+    assert wav.dtype == np.float32
+    assert wav.ndim == 1
+    assert len(wav) > 0
+    assert np.isfinite(wav).all()
+    max_len = (cfg.inference.max_decoder_steps * cfg.arch.reduction_factor) * cfg.dataset.hop_len
+    assert len(wav) <= max_len
+
+
+def test_synthesize_batch_lengths_vary(synth):
+    cfg, s = synth
+    wavs, full = s.synthesize_batch(
+        ["hi", "a much longer sentence to speak"], full_output=True
+    )
+    assert len(wavs) == 2
+    # Each wav is trimmed to its own stop length.
+    for w, n in zip(wavs, full["n_samples"]):
+        assert len(w) == int(n)
+    assert full["alignments"].shape[0] == 2
+
+
+def test_synthesize_to_file(synth, tmp_path):
+    cfg, s = synth
+    p = s.to_file("test output", tmp_path / "out.wav")
+    from sstts.data.wav import load_wav
+
+    y, sr = load_wav(p)
+    assert sr == cfg.dataset.sample_rate
+    assert len(y) > 0
+
+
+def test_cli_overrides():
+    cfg = apply_overrides(
+        Config(),
+        [
+            "training.batch_size=8",
+            "dataset.dataset_dir=/tmp/x",
+            "arch.reduction_factor=2",
+            "inference.griffin_lim_iters=30",
+        ],
+    )
+    assert cfg.training.batch_size == 8
+    assert cfg.dataset.dataset_dir == "/tmp/x"
+    assert cfg.arch.reduction_factor == 2
+    assert cfg.inference.griffin_lim_iters == 30
+
+
+def test_cli_override_rejects_unknown():
+    with pytest.raises(SystemExit):
+        apply_overrides(Config(), ["training.nope=1"])
+    with pytest.raises(SystemExit):
+        apply_overrides(Config(), ["bogus.field=1"])
