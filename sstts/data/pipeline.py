@@ -26,7 +26,6 @@ from sstts.data import synthetic
 from sstts.data import text as text_mod
 from sstts.data import wav as wav_mod
 from sstts.data.ljspeech import Utterance
-from sstts.dsp import reference as ref
 
 
 Batch = Dict[str, np.ndarray]
@@ -43,17 +42,27 @@ def _cdiv(a: int, b: int) -> int:
 
 
 def load_audio(utt: Utterance, cfg: Config) -> np.ndarray:
-    """Load + trim an utterance waveform (host side)."""
+    """Load + trim an utterance waveform (host side).
+
+    Uses the native C++ decoder/trimmer (sstts.data.native_loader) when the
+    toolchain built it; otherwise the pure-numpy codec."""
     ds = cfg.dataset
     if utt.wav_path.startswith("<synthetic"):
         y = synthetic.synth_waveform(utt.uid, utt.text, ds)
     else:
-        y, sr = wav_mod.load_wav(utt.wav_path)
+        from sstts.data import native_loader
+
+        if native_loader.available():
+            y, sr = native_loader.load_wav(
+                utt.wav_path, sample_rate_hint=ds.sample_rate
+            )
+        else:
+            y, sr = wav_mod.load_wav(utt.wav_path)
         if sr != ds.sample_rate:
             raise ValueError(
                 f"{utt.wav_path}: sample rate {sr} != configured {ds.sample_rate}"
             )
-        y = ref.trim_silence(y, ds.trim_top_db).astype(np.float32)
+        y = native_loader.trim_silence(y, ds.trim_top_db)
     return y
 
 

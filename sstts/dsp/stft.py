@@ -21,7 +21,25 @@ import functools
 import jax.numpy as jnp
 import numpy as np
 
+from sstts.dsp import fft as mmfft
 from sstts.dsp import reference as ref
+
+#: Use the MXU matmul FFT (sstts.dsp.fft) instead of XLA's FFT lowering.
+#: ~25x faster Griffin-Lim on TPU, f32-exact (golden-tested); flip to False
+#: to fall back to jnp.fft (the correctness oracle).
+USE_MATMUL_FFT = True
+
+
+def _rfft(x: jnp.ndarray, n: int) -> jnp.ndarray:
+    if USE_MATMUL_FFT and mmfft.supported(n):
+        return mmfft.rfft(x, n)
+    return jnp.fft.rfft(x, n=n, axis=-1)
+
+
+def _irfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
+    if USE_MATMUL_FFT and mmfft.supported(n):
+        return mmfft.irfft(spec, n)
+    return jnp.fft.irfft(spec, n=n, axis=-1)
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -123,7 +141,7 @@ def stft(
     y = jnp.pad(y, pad, mode="reflect")
     frames = frame_signal(y, n_fft, hop_length)
     window = jnp.asarray(_window(n_fft, win_length))
-    return jnp.fft.rfft(frames * window, n=n_fft, axis=-1)
+    return _rfft(frames * window, n_fft)
 
 
 def istft(
@@ -140,7 +158,7 @@ def istft(
     """
     n_frames = spec.shape[-2]
     window = jnp.asarray(_window(n_fft, win_length))
-    frames = jnp.fft.irfft(spec, n=n_fft, axis=-1) * window
+    frames = _irfft(spec, n_fft) * window
     y = overlap_add(frames, hop_length)
     inv_wss = jnp.asarray(_window_sum_sq(n_fft, hop_length, win_length, n_frames))
     y = y * inv_wss

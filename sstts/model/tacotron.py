@@ -44,8 +44,12 @@ class Tacotron(nn.Module):
             dtype=self.dtype, name="encoder_cbhg",
         )
         self.decoder_cell = DecoderCell(a, self.data.n_mels, dtype=self.dtype)
+        # The post-CBHG's second projection returns to mel space by
+        # definition (residual over the decoder's mel output), so its width
+        # follows dataset.n_mels rather than trusting the config pair.
+        post_proj = (a.post_proj_channels[0], self.data.n_mels)
         self.post_cbhg = CBHG(
-            a.post_bank_k, a.post_bank_channels, a.post_proj_channels,
+            a.post_bank_k, a.post_bank_channels, post_proj,
             a.post_highway_layers, a.post_highway_units, a.post_gru_units,
             dtype=self.dtype, name="post_cbhg",
         )

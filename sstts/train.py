@@ -231,7 +231,9 @@ def train(
     epoch = 0
     t_last = time.time()
     while step < max_steps:
+        epoch_batches = 0
         for _, batch in batcher.epoch(cfg.training.seed + epoch, cfg.training.batch_size):
+            epoch_batches += 1
             batch = jax.tree.map(
                 lambda x: jax.device_put(x, data_shard), batch
             )
@@ -247,6 +249,12 @@ def train(
                 ckpt.save(step, state)
             if step >= max_steps:
                 break
+        if epoch_batches == 0:
+            raise ValueError(
+                "the epoch produced zero batches: every utterance exceeded "
+                "the configured buckets (text_buckets/frame_buckets) or the "
+                "corpus is empty — widen the buckets or check the dataset"
+            )
         epoch += 1
         if eval_batcher is not None:
             agg: Dict[str, float] = {}

@@ -194,3 +194,27 @@ def test_spectrogram_to_wav_pipeline_runs(rng):
     assert wav.shape == (n,)
     assert np.isfinite(wav).all()
     assert np.abs(wav).max() > 1e-3
+
+
+def test_matmul_fft_matches_numpy(rng):
+    """MXU matmul FFT (sstts.dsp.fft) vs numpy, fwd + inverse + roundtrip."""
+    from sstts.dsp import fft as mmfft
+
+    for n in (64, 512, 2048):
+        assert mmfft.supported(n)
+        x = rng.standard_normal((2, 3, n)).astype(np.float32)
+        want = np.fft.rfft(x, n=n, axis=-1)
+        got = np.asarray(mmfft.rfft(jnp.asarray(x), n))
+        assert np.abs(got - want).max() / np.abs(want).max() < 1e-5
+        back = np.asarray(mmfft.irfft(jnp.asarray(want.astype(np.complex64)), n))
+        np.testing.assert_allclose(back, x, atol=1e-5)
+
+
+def test_matmul_fft_fallback_for_odd_sizes():
+    from sstts.dsp import fft as mmfft
+
+    # Odd n is unsupported -> silently falls back to jnp.fft.
+    assert not mmfft.supported(63)
+    x = jnp.ones((2, 63))
+    out = np.asarray(mmfft.rfft(x, 63))
+    np.testing.assert_allclose(out, np.fft.rfft(np.ones((2, 63)), axis=-1), atol=1e-5)

@@ -82,3 +82,17 @@ def test_cli_override_rejects_unknown():
         apply_overrides(Config(), ["training.nope=1"])
     with pytest.raises(SystemExit):
         apply_overrides(Config(), ["bogus.field=1"])
+
+
+def test_long_form_fixed_shape_scan(synth):
+    """BASELINE config 4 (scaled down): decoder steps >> typical utterance,
+    one fixed-shape program, stop masking still correct."""
+    cfg, s = synth
+    wavs, full = s.synthesize_batch(
+        ["one two three"], max_steps=64, full_output=True
+    )
+    r = cfg.arch.reduction_factor
+    assert full["mel"].shape[1] == 64 * r
+    assert full["n_frames"][0] <= 64 * r
+    assert len(wavs[0]) == int(full["n_samples"][0])
+    assert np.isfinite(wavs[0]).all()

@@ -107,9 +107,15 @@ def test_checkpoint_save_restore(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     mgr.close()
 
-    # Mismatched config must be refused.
-    other = cfg.replace(
+    # Mismatched model/dataset config must be refused; training/inference
+    # knobs are deliberately NOT part of the fingerprint (overridable at
+    # evaluate/synthesize time).
+    relaxed = cfg.replace(
         training=dataclasses.replace(cfg.training, learning_rate=123.0)
+    )
+    CheckpointManager(relaxed, tmp_path).close()  # accepted
+    other = cfg.replace(
+        arch=dataclasses.replace(cfg.arch, embedding_dim=64)
     )
     with pytest.raises(ValueError, match="different config"):
         CheckpointManager(other, tmp_path)
