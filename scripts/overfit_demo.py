@@ -1,0 +1,124 @@
+"""End-to-end quality check: overfit a tiny model on a few utterances, then
+synthesize them back and measure mel-L1 between synthesized audio's features
+and the ground-truth features (the SURVEY.md §6 acceptance metric, evaluated
+self-consistently).
+
+    python scripts/overfit_demo.py [--steps 1500] [--platform cpu|tpu]
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=1500)
+    ap.add_argument("--platform", default="cpu")
+    ap.add_argument("--utts", type=int, default=4)
+    ap.add_argument("--workdir", default=None)
+    args = ap.parse_args()
+
+    if args.platform == "cpu":
+        os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+
+    if args.platform == "cpu":
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sstts.config import tiny_config
+    from sstts.data import pipeline as pm
+    from sstts.data.synthetic import make_utterances
+    from sstts.dsp.ops import wav_to_features
+    from sstts.synthesize import Synthesizer
+    from sstts.train import create_state, make_train_step
+
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(
+            cfg.dataset, dataset="synthetic", sample_rate=8000, n_fft=512,
+            n_mels=40, mel_fmax=4000.0,
+        ),
+        training=dataclasses.replace(
+            cfg.training, batch_size=args.utts, text_buckets=(64,),
+            frame_buckets=(220,), learning_rate=1.5e-3,
+        ),
+        arch=dataclasses.replace(
+            cfg.arch,
+            embedding_dim=64, prenet_units=(64, 32),
+            encoder_bank_k=8, encoder_bank_channels=32,
+            encoder_proj_channels=(32, 32), encoder_highway_units=32,
+            encoder_gru_units=32, attention_units=64, attention_gru_units=64,
+            decoder_gru_units=64, post_bank_k=4, post_bank_channels=32,
+            post_proj_channels=(64, 40), post_highway_units=32,
+            post_gru_units=32, reduction_factor=2,
+        ),
+        inference=dataclasses.replace(
+            cfg.inference, max_decoder_steps=110, griffin_lim_iters=30,
+            stop_threshold=0.8, min_decoder_steps=4,
+        ),
+    )
+    utts = make_utterances(args.utts, cfg.dataset, min_words=2, max_words=3)
+    batcher = pm.Batcher(utts, cfg)
+    for _, batch in batcher.epoch(0, args.utts):
+        break
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    state = create_state(cfg)
+    step_fn = make_train_step(cfg)
+    t0 = time.time()
+    for i in range(args.steps):
+        state, metrics = step_fn(state, batch)
+        if (i + 1) % 200 == 0:
+            m = jax.device_get(metrics)
+            print(
+                f"step {i+1}: loss={float(m['loss']):.4f} "
+                f"mel={float(m['loss_mel']):.4f} stop={float(m['loss_stop']):.4f} "
+                f"({(i+1)/(time.time()-t0):.1f} steps/s)",
+                flush=True,
+            )
+
+    # Synthesize the training texts and compare mel features to ground truth.
+    synth = Synthesizer(cfg, jax.device_get(state.params), jax.device_get(state.batch_stats))
+    gt_lin, gt_mel = wav_to_features(batch["samples"], cfg.dataset)
+    wavs, full = synth.synthesize_batch(
+        [u.text for u in utts], full_output=True
+    )
+    worst = 0.0
+    for i, u in enumerate(utts):
+        n = min(int(full["n_frames"][i]), int(batch["loss_frames"][i]))
+        if n < 10:
+            print(f"utt {i}: too short ({n} frames) — stop token fired early")
+            worst = max(worst, 1.0)
+            continue
+        # Features of the synthesized audio vs ground-truth features.
+        syn_feat = wav_to_features(
+            jnp.asarray(wavs[i][: (n - 1) * cfg.dataset.hop_len]), cfg.dataset
+        )[1]
+        l1 = float(jnp.abs(syn_feat[:n] - gt_mel[i, :n]).mean())
+        pred_l1 = float(jnp.abs(full["mel"][i, :n] - np.asarray(gt_mel[i, :n])).mean())
+        print(f"utt {i} ({u.text[:32]!r}): frames={n} mel-L1(pred)={pred_l1:.4f} "
+              f"mel-L1(resynth audio)={l1:.4f}", flush=True)
+        worst = max(worst, pred_l1)
+    ok = worst < 0.08
+    print(f"RESULT: worst predicted mel-L1 {worst:.4f} -> {'OK' if ok else 'WEAK'}")
+    if args.workdir:
+        from sstts.data.wav import save_wav
+        os.makedirs(args.workdir, exist_ok=True)
+        for i, u in enumerate(utts):
+            save_wav(os.path.join(args.workdir, f"overfit_{i}.wav"), wavs[i], cfg.dataset.sample_rate)
+        print("wavs written to", args.workdir)
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -14,17 +14,40 @@ a padded batch produces exactly the same per-example outputs as batch=1
 (SURVEY.md §4 "shape/mask unit tests").  This matters for the backward
 direction of `BiGRU`, which reaches the padding *first*.
 
-A Pallas-fused variant of the step lives in `sstts.ops.pallas_gru`; this XLA
-path is the correctness oracle and fallback.
+Full-sequence GRUs dispatch between two backends sharing one parameter set
+and one step function (`sstts.ops.pallas_gru.gru_step_math`):
+
+* "xla"    — `lax.scan` (default; correctness oracle),
+* "pallas" — the fused single-kernel sequence GRU (weights resident in VMEM,
+             carry in scratch, time as the pipelined grid).
+
+Select via `SSTTS_GRU_BACKEND` or `sstts.model.rnn.GRU_BACKEND`.
 """
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from sstts.ops.pallas_gru import gru_sequence, gru_sequence_xla, gru_step_math
+
+#: "xla" | "pallas".  Overridable by the SSTTS_GRU_BACKEND env var.
+GRU_BACKEND = os.environ.get("SSTTS_GRU_BACKEND", "xla")
+
+
+def _gru_params(module: nn.Module, d_in: int, features: int):
+    wx = module.param(
+        "wx", nn.initializers.lecun_normal(), (d_in, 3 * features)
+    )
+    wh = module.param(
+        "wh", nn.initializers.orthogonal(), (features, 3 * features)
+    )
+    b = module.param("b", nn.initializers.zeros, (3 * features,))
+    return wx, wh, b
 
 
 class GRUCell(nn.Module):
@@ -45,16 +68,8 @@ class GRUCell(nn.Module):
         inputs: Tuple[jnp.ndarray, Optional[jnp.ndarray]],
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x, step_mask = inputs
-        H = self.features
-        # One fused input projection and one fused recurrent projection.
-        gx = nn.Dense(3 * H, dtype=self.dtype, name="input_proj")(x)
-        gh = nn.Dense(3 * H, use_bias=False, dtype=self.dtype, name="recurrent_proj")(h)
-        xr, xz, xn = jnp.split(gx, 3, axis=-1)
-        hr, hz, hn = jnp.split(gh, 3, axis=-1)
-        r = jax.nn.sigmoid(xr + hr)
-        z = jax.nn.sigmoid(xz + hz)
-        n = jnp.tanh(xn + r * hn)
-        new_h = z * h + (1.0 - z) * n
+        wx, wh, b = _gru_params(self, x.shape[-1], self.features)
+        new_h = gru_step_math(x, h, wx, wh, b).astype(self.dtype)
         if step_mask is not None:
             m = step_mask[:, None].astype(new_h.dtype)
             new_h = m * new_h + (1.0 - m) * h
@@ -69,12 +84,11 @@ class GRUCell(nn.Module):
 
 
 class UnidirectionalGRU(nn.Module):
-    """GRU over a full sequence via `lax.scan`.
+    """GRU over a full sequence: (B, T, D), optional (B, T) mask -> (B, T, H).
 
-    Input (B, T, D), optional mask (B, T) -> output (B, T, H).
-    `reverse=True` scans right-to-left and returns outputs aligned to the
-    original order; with a mask, the carry freezes on padded steps so padding
-    never contaminates valid outputs in either direction.
+    `reverse=True` scans right-to-left with outputs aligned to the original
+    order; with a mask, the carry freezes on padded steps so padding never
+    contaminates valid outputs in either direction.
     """
 
     features: int
@@ -86,21 +100,13 @@ class UnidirectionalGRU(nn.Module):
         self,
         xs: jnp.ndarray,
         mask: Optional[jnp.ndarray] = None,
-        h0: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        batch = xs.shape[0]
-        if h0 is None:
-            h0 = GRUCell.init_carry(batch, self.features, self.dtype)
-        scan = nn.scan(
-            GRUCell,
-            variable_broadcast="params",
-            split_rngs={"params": False},
-            in_axes=1,
-            out_axes=1,
-            reverse=self.reverse,
-        )
-        _, ys = scan(self.features, dtype=self.dtype, name="cell")(h0, (xs, mask))
-        return ys
+        wx, wh, b = _gru_params(self, xs.shape[-1], self.features)
+        if GRU_BACKEND == "pallas":
+            ys = gru_sequence(xs, wx, wh, b, mask, reverse=self.reverse)
+        else:
+            ys = gru_sequence_xla(xs, wx, wh, b, mask, reverse=self.reverse)
+        return ys.astype(self.dtype)
 
 
 class BiGRU(nn.Module):

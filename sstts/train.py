@@ -184,6 +184,34 @@ def make_eval_step(cfg: Config):
     return jax.jit(eval_step)
 
 
+def _log_eval_media(logger: MetricsLogger, step: int, cfg: Config, out) -> None:
+    """Alignment + spectrogram images and reconstructed audio at eval time
+    (the reference's TensorBoard image/audio summaries — SURVEY.md §5.5)."""
+    if out is None:
+        return
+    try:
+        import numpy as np
+
+        from sstts.dsp.griffin_lim import spectrogram_to_wav
+        from sstts.utils import visualization as viz
+
+        align = np.asarray(jax.device_get(out["alignments"][0]))
+        mel = np.asarray(jax.device_get(out["mel"][0]))
+        logger.log_image(step, "eval/alignment", viz.plot_attention_alignment(align))
+        logger.log_image(step, "eval/mel", viz.plot_spectrogram(mel, "predicted mel"))
+        linear = out["linear"][:1]
+        n_frames = linear.shape[1]
+        wav = jax.jit(
+            lambda l: spectrogram_to_wav(l, cfg, (n_frames - 1) * cfg.dataset.hop_len)
+        )(linear)
+        logger.log_audio(
+            step, "eval/audio", np.asarray(jax.device_get(wav[0])),
+            cfg.dataset.sample_rate,
+        )
+    except Exception as e:  # media logging must never kill training
+        print(f"[warn] eval media logging failed: {type(e).__name__}: {e}", flush=True)
+
+
 def load_corpus(cfg: Config):
     """Corpus dispatch: real LJSpeech layout or the synthetic fallback."""
     if cfg.dataset.dataset == "synthetic":
@@ -259,8 +287,10 @@ def train(
         if eval_batcher is not None:
             agg: Dict[str, float] = {}
             n = 0
+            last_out = None
             for _, ebatch in eval_batcher.epoch(0, cfg.evaluation.batch_size):
-                emetrics, _ = eval_step(state, jax.tree.map(jnp.asarray, ebatch))
+                emetrics, eout = eval_step(state, jax.tree.map(jnp.asarray, ebatch))
+                last_out = eout
                 for k, v in jax.device_get(emetrics).items():
                     agg[k] = agg.get(k, 0.0) + float(v)
                 n += 1
@@ -268,6 +298,7 @@ def train(
                     break
             if n:
                 logger.log(step, {k: v / n for k, v in agg.items()}, prefix="eval")
+                _log_eval_media(logger, step, cfg, last_out)
     ckpt.save(step, state)
     ckpt.close()
     logger.close()

@@ -91,12 +91,33 @@ def test_gru_scan_matches_python_loop(setup):
     gru = UnidirectionalGRU(H)
     vs = gru.init(rng, xs)
     ys = gru.apply(vs, xs)
+    # The sequence GRU and the per-step cell share one parameter layout.
     cell = GRUCell(H)
-    cell_vs = {"params": vs["params"]["cell"]}
+    cell_vs = {"params": vs["params"]}
     h = jnp.zeros((B, H))
     for t in range(T):
         h, out = cell.apply(cell_vs, h, (xs[:, t], None))
         np.testing.assert_allclose(np.asarray(out), np.asarray(ys[:, t]), atol=1e-6)
+
+
+def test_gru_pallas_backend_matches_xla(setup):
+    """Pallas fused-sequence kernel (interpret mode) == lax.scan backend."""
+    from sstts.ops import pallas_gru as pg
+
+    rng = np.random.default_rng(5)
+    B, T, D, H = 3, 9, 8, 8
+    xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    wx = jnp.asarray(rng.standard_normal((D, 3 * H)).astype(np.float32) * 0.3)
+    wh = jnp.asarray(rng.standard_normal((H, 3 * H)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.standard_normal((3 * H,)).astype(np.float32) * 0.1)
+    mask = jnp.asarray((rng.random((B, T)) > 0.25).astype(np.float32))
+    for rev in (False, True):
+        for m in (None, mask):
+            want = np.asarray(pg.gru_sequence_xla(xs, wx, wh, b, m, reverse=rev))
+            got = np.asarray(
+                pg.gru_sequence(xs, wx, wh, b, m, reverse=rev, interpret=True)
+            )
+            np.testing.assert_allclose(got, want, atol=1e-6)
 
 
 def test_decoder_scan_matches_python_loop(setup):
