@@ -168,6 +168,9 @@ class InferenceConfig:
     griffin_lim_iters: int = 60
     #: Magnitude power applied before Griffin-Lim.
     griffin_lim_power: float = 1.35
+    #: Fast-Griffin-Lim momentum (0 = classic reference algorithm; ~0.99
+    #: reaches 60-iteration quality in roughly half the iterations).
+    griffin_lim_momentum: float = 0.0
     #: Stop-token probability threshold.
     stop_threshold: float = 0.5
     #: Minimum decoder steps before the stop token can fire.

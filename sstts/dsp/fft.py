@@ -187,3 +187,77 @@ def irfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
     # x[2t] = Re, x[2t+1] = Im -> interleave.
     out = jnp.stack([zr_t, zi_t], axis=-1)
     return out.reshape(*spec.shape[:-1], n)[..., :n]
+
+
+# --------------------------------------------------------------------------- #
+# Direct rDFT as a single real GEMM.
+#
+# For n_fft=2048 the Cooley-Tukey split (32, 32) pads its GEMMs from K=N=32 up
+# to the 128x128 MXU tile, wasting 16x — which exactly cancels the factored
+# algorithm's FLOP savings.  A DIRECT real DFT, x @ [cos | -sin] with shape
+# (n, n+2), runs the SAME padded-MXU cost as the factored form with zero
+# packing/transpose traffic, so it is the better matmul formulation at STFT
+# sizes.  Precision is selectable: HIGHEST ~ f32-exact (6 bf16 passes), HIGH
+# (3 passes, ~21-bit mantissa) is the Griffin-Lim sweet spot, DEFAULT (1 pass)
+# for throughput experiments.
+# --------------------------------------------------------------------------- #
+
+
+def _rdft_matrices(n: int):
+    """DFT matrices built INSIDE the trace from iota (no giant HLO literals).
+
+    A 16.8 MB host-constant matrix baked into the program sent the remote
+    TPU compiler into minutes-long constant processing; computing cos/sin of
+    `2*pi*((t*k) mod n)/n` at runtime costs ~8M transcendentals once per call
+    (XLA hoists it out of loops) and keeps the HLO tiny.  The integer `mod n`
+    keeps the angle in [0, 2*pi) so f32 cos/sin stays accurate at any t*k.
+
+    Returns (fwd (n, 2*half), inv (2*half, n)).
+    """
+    half = n // 2 + 1
+    t = jax.lax.broadcasted_iota(jnp.int32, (n, half), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, half), 1)
+    phase = ((t * k) % n).astype(jnp.float32) * np.float32(2.0 * np.pi / n)
+    cos = jnp.cos(phase)  # (n, half)
+    sin = jnp.sin(phase)
+    fwd = jnp.concatenate([cos, -sin], axis=1)  # (n, 2*half)
+    # Inverse: x[t] = (1/n) * sum_k w_k (re_k cos + im_k (-sin)), w = 2
+    # except DC and Nyquist (even n).
+    w = np.full(half, 2.0, np.float32)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    w_col = jnp.asarray(w)[:, None] * np.float32(1.0 / n)
+    inv = jnp.concatenate([w_col * cos.T, w_col * (-sin.T)], axis=0)
+    return fwd, inv
+
+
+def rdft(
+    x: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGH,
+    fwd: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Real DFT via one GEMM: (..., n) -> complex64 (..., n//2+1)."""
+    if fwd is None:
+        fwd, _ = _rdft_matrices(n)
+    half = n // 2 + 1
+    out = jnp.matmul(
+        x.astype(jnp.float32), fwd,
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    return jax.lax.complex(out[..., :half], out[..., half:])
+
+
+def irdft(
+    spec: jnp.ndarray, n: int, precision=jax.lax.Precision.HIGH,
+    inv: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Inverse real DFT via one GEMM: complex (..., n//2+1) -> (..., n)."""
+    if inv is None:
+        _, inv = _rdft_matrices(n)
+    parts = jnp.concatenate(
+        [jnp.real(spec), jnp.imag(spec)], axis=-1
+    ).astype(jnp.float32)
+    return jnp.matmul(
+        parts, inv,
+        precision=precision, preferred_element_type=jnp.float32,
+    )

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,21 +26,41 @@ from sstts.dsp import fft as mmfft
 from sstts.dsp import reference as ref
 
 #: Use the MXU matmul FFT (sstts.dsp.fft) instead of XLA's FFT lowering.
-#: ~25x faster Griffin-Lim on TPU, f32-exact (golden-tested); flip to False
-#: to fall back to jnp.fft (the correctness oracle).
-USE_MATMUL_FFT = True
+#: Measured on v5e (B=32 x 800 frames x 60 GL iters): jnp.fft 2.41s vs
+#: matmul 4.85s at HIGHEST precision — XLA's FFT wins at f32 accuracy, so it
+#: stays the default; the matmul path remains available for experimentation
+#: (it is f32-exact and golden-tested).
+USE_MATMUL_FFT = False
 
 
-def _rfft(x: jnp.ndarray, n: int) -> jnp.ndarray:
-    if USE_MATMUL_FFT and mmfft.supported(n):
+def _rfft(x: jnp.ndarray, n: int, impl: str = "default") -> jnp.ndarray:
+    if impl == "default":
+        impl = "ct_matmul" if USE_MATMUL_FFT else "xla"
+    if impl == "xla" or not mmfft.supported(n):
+        return jnp.fft.rfft(x, n=n, axis=-1)
+    if impl == "ct_matmul":
         return mmfft.rfft(x, n)
-    return jnp.fft.rfft(x, n=n, axis=-1)
+    if impl.startswith("dft"):
+        prec = {"dft_high": jax.lax.Precision.HIGH,
+                "dft_highest": jax.lax.Precision.HIGHEST,
+                "dft_default": jax.lax.Precision.DEFAULT}[impl]
+        return mmfft.rdft(x, n, precision=prec)
+    raise ValueError(f"unknown fft impl: {impl}")
 
 
-def _irfft(spec: jnp.ndarray, n: int) -> jnp.ndarray:
-    if USE_MATMUL_FFT and mmfft.supported(n):
+def _irfft(spec: jnp.ndarray, n: int, impl: str = "default") -> jnp.ndarray:
+    if impl == "default":
+        impl = "ct_matmul" if USE_MATMUL_FFT else "xla"
+    if impl == "xla" or not mmfft.supported(n):
+        return jnp.fft.irfft(spec, n=n, axis=-1)
+    if impl == "ct_matmul":
         return mmfft.irfft(spec, n)
-    return jnp.fft.irfft(spec, n=n, axis=-1)
+    if impl.startswith("dft"):
+        prec = {"dft_high": jax.lax.Precision.HIGH,
+                "dft_highest": jax.lax.Precision.HIGHEST,
+                "dft_default": jax.lax.Precision.DEFAULT}[impl]
+        return mmfft.irdft(spec, n, precision=prec)
+    raise ValueError(f"unknown fft impl: {impl}")
 
 
 def _cdiv(a: int, b: int) -> int:
@@ -130,7 +151,8 @@ def overlap_add(frames: jnp.ndarray, hop_length: int) -> jnp.ndarray:
 
 
 def stft(
-    y: jnp.ndarray, n_fft: int, hop_length: int, win_length: int
+    y: jnp.ndarray, n_fft: int, hop_length: int, win_length: int,
+    fft_impl: str = "default",
 ) -> jnp.ndarray:
     """Centered batched STFT: (..., n_samples) -> complex (..., n_frames, bins).
 
@@ -141,7 +163,7 @@ def stft(
     y = jnp.pad(y, pad, mode="reflect")
     frames = frame_signal(y, n_fft, hop_length)
     window = jnp.asarray(_window(n_fft, win_length))
-    return _rfft(frames * window, n_fft)
+    return _rfft(frames * window, n_fft, fft_impl)
 
 
 def istft(
@@ -150,6 +172,7 @@ def istft(
     hop_length: int,
     win_length: int,
     length: int,
+    fft_impl: str = "default",
 ) -> jnp.ndarray:
     """Inverse STFT: complex (..., n_frames, bins) -> (..., length) samples.
 
@@ -158,7 +181,7 @@ def istft(
     """
     n_frames = spec.shape[-2]
     window = jnp.asarray(_window(n_fft, win_length))
-    frames = _irfft(spec, n_fft) * window
+    frames = _irfft(spec, n_fft, fft_impl) * window
     y = overlap_add(frames, hop_length)
     inv_wss = jnp.asarray(_window_sum_sq(n_fft, hop_length, win_length, n_frames))
     y = y * inv_wss

@@ -75,8 +75,14 @@ class Synthesizer:
         linear = jnp.where(frame_mask[..., None], linear, 0.0)
         length = (total_frames - 1) * cfg.dataset.hop_len
         wav = spectrogram_to_wav(linear, cfg, length)
+        # Quantize to PCM16 ON DEVICE: the host transfer halves, and PCM16 is
+        # the terminal format anyway (lossless w.r.t. the written WAV).
+        wav_i16 = jnp.round(
+            jnp.clip(wav, -1.0, 1.0) * 32767.0
+        ).astype(jnp.int16)
         return {
             "wav": wav,
+            "wav_i16": wav_i16,
             "n_samples": jnp.minimum(dec["n_frames"] * cfg.dataset.hop_len, length),
             "mel": mel,
             "linear": linear,
@@ -107,17 +113,22 @@ class Synthesizer:
             self.variables, jnp.asarray(ids), rng, max_steps=max_steps
         )
         if not full_output:
-            # Only the waveform crosses the device boundary (the linear/mel
-            # tensors are an order of magnitude larger than the audio).
-            out = {k: out[k] for k in ("wav", "n_samples")}
+            # Only the PCM16 waveform crosses the device boundary (the
+            # linear/mel tensors are an order of magnitude larger, and f32
+            # audio would be 2x the bytes for no fidelity gain: the terminal
+            # format is PCM16).
+            out = jax.device_get({k: out[k] for k in ("wav_i16", "n_samples")})
+            return [
+                out["wav_i16"][i, : int(out["n_samples"][i])].astype(np.float32)
+                / 32767.0
+                for i in range(len(texts))
+            ]
         out = jax.device_get(out)
         wavs = [
             np.asarray(out["wav"][i, : int(out["n_samples"][i])])
             for i in range(len(texts))
         ]
-        if full_output:
-            return wavs, out
-        return wavs
+        return wavs, out
 
     def synthesize(self, text: str, **kw) -> np.ndarray:
         return self.synthesize_batch([text], **kw)[0]

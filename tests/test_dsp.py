@@ -218,3 +218,32 @@ def test_matmul_fft_fallback_for_odd_sizes():
     x = jnp.ones((2, 63))
     out = np.asarray(mmfft.rfft(x, 63))
     np.testing.assert_allclose(out, np.fft.rfft(np.ones((2, 63)), axis=-1), atol=1e-5)
+
+
+def test_griffin_lim_momentum_converges_faster(rng):
+    """Fast-GL (momentum) at half the iterations reaches classic-GL quality."""
+    cfg = CFG
+    n = 4000
+    y = _signal(n, cfg.sample_rate, rng)
+    mag = np.abs(ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)).astype(np.float32)
+
+    def spectral_err(wav):
+        got = np.abs(ref.stft(wav.astype(np.float64), cfg.n_fft, cfg.hop_len, cfg.win_len))
+        return np.abs(got - mag).mean() / mag.mean()
+
+    classic = np.asarray(gl.griffin_lim(jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 16, n))
+    fast = np.asarray(gl.griffin_lim(jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 8, n, momentum=0.99))
+    assert spectral_err(fast) <= spectral_err(classic) * 1.1, (
+        spectral_err(fast), spectral_err(classic))
+
+
+def test_rdft_impl_in_gl_matches_xla_impl(rng):
+    """Griffin-Lim with the direct-rDFT GEMM path == jnp.fft path (CPU f32)."""
+    cfg = CFG
+    n = 3000
+    y = _signal(n, cfg.sample_rate, rng)
+    mag = np.abs(ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)).astype(np.float32)
+    a = np.asarray(gl.griffin_lim(jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 4, n, fft_impl="xla"))
+    b = np.asarray(gl.griffin_lim(jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 4, n, fft_impl="dft_high"))
+    scale = np.abs(a).max()
+    np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
