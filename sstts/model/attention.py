@@ -20,6 +20,7 @@ _NEG_INF = -1e9
 
 
 def masked_softmax(scores: jnp.ndarray, mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    scores = scores.astype(jnp.float32)  # f32 softmax under bf16 compute
     if mask is not None:
         scores = jnp.where(mask, scores, _NEG_INF)
     return jax.nn.softmax(scores, axis=-1)

@@ -108,6 +108,10 @@ class DecoderCell(nn.Module):
         attn_h, _ = self.attn_gru(carry.attn_h, (attn_in, None))
         alignment = self.attention(attn_h, keys, memory_mask, carry.alignment)
         context = attention_context(alignment, memory)
+        # The softmax runs in f32 (bf16-safe); keep the carry dtype uniform.
+        alignment = alignment.astype(self.dtype)
+        context = context.astype(self.dtype)
+        attn_h = attn_h.astype(self.dtype)
 
         x = self.dec_proj(jnp.concatenate([attn_h, context], axis=-1))
         new_dec_hs = []

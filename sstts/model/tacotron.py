@@ -171,9 +171,10 @@ class Tacotron(nn.Module):
             memory, memory_mask, mel_gt, train=train
         )
         linear = self.postprocess(mel, frame_mask, train=train)
+        f32 = lambda x: x.astype(jnp.float32)  # noqa: E731 — losses in f32
         return {
-            "mel": mel,
-            "linear": linear,
-            "stop_logits": stops,
-            "alignments": alignments,
+            "mel": f32(mel),
+            "linear": f32(linear),
+            "stop_logits": f32(stops),
+            "alignments": f32(alignments),
         }

@@ -57,7 +57,7 @@ def _kernel(xs_ref, mask_ref, wx_ref, wh_ref, b_ref, ys_ref, h_scratch):
     h = h_scratch[...]
     h_new = gru_step_math(x, h, wx_ref[...], wh_ref[...], b_ref[0])
     if mask_ref is not None:
-        m = mask_ref[0][:, None]  # (B, 1) f32
+        m = mask_ref[0]  # (B, 1) f32
         h_new = m * h_new + (1.0 - m) * h
         out = m * h_new
     else:
@@ -86,10 +86,9 @@ def gru_sequence(
 
     if reverse:
         step_index = lambda t: (t_len - 1 - t, 0, 0)  # noqa: E731
-        mask_index = lambda t: (t_len - 1 - t, 0)  # noqa: E731
     else:
         step_index = lambda t: (t, 0, 0)  # noqa: E731
-        mask_index = lambda t: (t, 0)  # noqa: E731
+    mask_index = step_index
     const2 = lambda t: (0, 0)  # noqa: E731
 
     in_specs = [
@@ -101,8 +100,10 @@ def gru_sequence(
     args = [xs_t, wx.astype(jnp.float32), wh.astype(jnp.float32), b2]
     kernel = functools.partial(_kernel)
     if mask is not None:
-        mask_t = jnp.swapaxes(mask.astype(jnp.float32), 0, 1)  # (T, B)
-        in_specs.insert(1, pl.BlockSpec((1, batch), mask_index,
+        # (T, B, 1): a trailing unit dim keeps the block tiling legal on TPU
+        # (a (1, B) block violates the sublane-divisibility constraint).
+        mask_t = jnp.swapaxes(mask.astype(jnp.float32), 0, 1)[..., None]
+        in_specs.insert(1, pl.BlockSpec((1, batch, 1), mask_index,
                                         memory_space=pltpu.VMEM))
         args.insert(1, mask_t)
         body = _kernel

@@ -43,8 +43,15 @@ class Synthesizer:
         seed: int = 0,
     ):
         self.cfg = cfg
-        self.model = Tacotron(cfg.arch, cfg.dataset)
-        self.variables = {"params": params, "batch_stats": batch_stats}
+        dtype = (
+            jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
+        )
+        self.model = Tacotron(cfg.arch, cfg.dataset, dtype=dtype)
+        # Pin the variables on device once: host-side (numpy) params would be
+        # re-uploaded on EVERY call (10s of MB through the host link).
+        self.variables = jax.device_put(
+            {"params": params, "batch_stats": batch_stats}
+        )
         self._rng = jax.random.PRNGKey(seed)
         self._program = jax.jit(
             self._synthesize_fn, static_argnames=("max_steps",)

@@ -63,7 +63,8 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 
 def build_model(cfg: Config) -> Tacotron:
-    return Tacotron(cfg.arch, cfg.dataset)
+    dtype = jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
+    return Tacotron(cfg.arch, cfg.dataset, dtype=dtype)
 
 
 def create_state(

@@ -135,3 +135,23 @@ def test_train_driver_end_to_end(tmp_path):
     # Resume continues from the saved step.
     state2 = train_mod.train(cfg, workdir=tmp_path, max_steps=8, log_every=2)
     assert int(jax.device_get(state2.step)) == 8
+
+
+def test_bfloat16_compute_path():
+    """compute_dtype=bfloat16: train step runs, finite, roughly tracks f32."""
+    cfg = _cfg()
+    bf16 = cfg.replace(
+        arch=dataclasses.replace(cfg.arch, compute_dtype="bfloat16")
+    )
+    batch = jax.tree.map(jnp.asarray, _one_batch(cfg))
+    s32 = train_mod.create_state(cfg)
+    s16 = train_mod.create_state(bf16)
+    _, m32 = train_mod.make_train_step(cfg)(s32, batch)
+    _, m16 = train_mod.make_train_step(bf16)(s16, batch)
+    l32, l16 = float(m32["loss"]), float(m16["loss"])
+    assert np.isfinite(l16)
+    assert abs(l16 - l32) / l32 < 0.1, (l16, l32)
+    # Params stay f32 (mixed precision: bf16 activations only).
+    assert all(
+        x.dtype == jnp.float32 for x in jax.tree.leaves(s16.params)
+    )
