@@ -32,7 +32,9 @@ Batch = Dict[str, np.ndarray]
 # Batch fields:
 #   char_ids:    (B, L)  int32, 0-padded, EOS-terminated
 #   text_len:    (B,)    int32
-#   samples:     (B, S)  float32 zero-padded waveform
+#   samples:     (B, S)  int16 zero-padded waveform (PCM16 — half the
+#                host->device bytes of f32; the corpus is 16-bit at source;
+#                the train step dequantizes on device)
 #   n_frames:    (B,)    int32  total valid STFT frames
 #   loss_frames: (B,)    int32  frames included in the loss (see module doc)
 
@@ -97,7 +99,7 @@ def make_batch(
     n_samples = (n_frames - 1) * hop  # -> exactly n_frames centered frames
     bsz = len(items)
     char_ids = np.zeros((bsz, text_len), dtype=np.int32)
-    samples = np.zeros((bsz, n_samples), dtype=np.float32)
+    samples = np.zeros((bsz, n_samples), dtype=np.int16)
     tlen = np.zeros((bsz,), dtype=np.int32)
     frames = np.zeros((bsz,), dtype=np.int32)
     loss_frames = np.zeros((bsz,), dtype=np.int32)
@@ -106,7 +108,9 @@ def make_batch(
         audio = audio[: n_samples]
         char_ids[b, : len(ids)] = ids
         tlen[b] = len(ids)
-        samples[b, : len(audio)] = audio
+        samples[b, : len(audio)] = np.round(
+            np.clip(audio, -1.0, 1.0) * 32767.0
+        ).astype(np.int16)
         nf = min(n_frames, 1 + len(audio) // hop)
         frames[b] = nf
         loss_frames[b] = max(1, nf - guard)

@@ -9,11 +9,13 @@ scalars, and checkpoint I/O.
 
 from __future__ import annotations
 
+import collections
 import dataclasses
 import time
+from concurrent.futures import ThreadPoolExecutor
 from functools import partial
 from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Iterator, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -114,7 +116,8 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        linear_gt, mel_gt = wav_to_features(batch["samples"], cfg.dataset)
+        samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
+        linear_gt, mel_gt = wav_to_features(samples, cfg.dataset)
         total = mel_gt.shape[1]
         frame_mask = frame_mask_from_lengths(batch["n_frames"], total)
         dropout_rng = jax.random.fold_in(base_rng, state.step)
@@ -167,7 +170,8 @@ def make_eval_step(cfg: Config):
     model = build_model(cfg)
 
     def eval_step(state: TrainState, batch):
-        linear_gt, mel_gt = wav_to_features(batch["samples"], cfg.dataset)
+        samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
+        linear_gt, mel_gt = wav_to_features(samples, cfg.dataset)
         frame_mask = frame_mask_from_lengths(batch["n_frames"], mel_gt.shape[1])
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -183,6 +187,9 @@ def make_eval_step(cfg: Config):
         return metrics, out
 
     return jax.jit(eval_step)
+
+
+_MEDIA_WAV_FNS: Dict[int, Any] = {}
 
 
 def _log_eval_media(logger: MetricsLogger, step: int, cfg: Config, out) -> None:
@@ -202,15 +209,48 @@ def _log_eval_media(logger: MetricsLogger, step: int, cfg: Config, out) -> None:
         logger.log_image(step, "eval/mel", viz.plot_spectrogram(mel, "predicted mel"))
         linear = out["linear"][:1]
         n_frames = linear.shape[1]
-        wav = jax.jit(
-            lambda l: spectrogram_to_wav(l, cfg, (n_frames - 1) * cfg.dataset.hop_len)
-        )(linear)
+        # Cache the jitted vocoder per frame count: a fresh jit per eval
+        # would recompile the whole Griffin-Lim program every epoch.
+        fn = _MEDIA_WAV_FNS.get(n_frames)
+        if fn is None:
+            fn = jax.jit(
+                lambda l: spectrogram_to_wav(
+                    l, cfg, (n_frames - 1) * cfg.dataset.hop_len
+                )
+            )
+            _MEDIA_WAV_FNS[n_frames] = fn
+        wav = fn(linear)
         logger.log_audio(
             step, "eval/audio", np.asarray(jax.device_get(wav[0])),
             cfg.dataset.sample_rate,
         )
     except Exception as e:  # media logging must never kill training
         print(f"[warn] eval media logging failed: {type(e).__name__}: {e}", flush=True)
+
+
+def _prefetch_to_device(batches: Iterator, sharding, depth: int = 2):
+    """Overlap host->device batch uploads with device compute.
+
+    The upload of a raw-waveform batch is tens of MB; issuing it from a
+    background thread `depth` batches ahead hides it behind the previous
+    train steps (the reference fed feed_dict synchronously every step —
+    SURVEY.md §3.1)."""
+    executor = ThreadPoolExecutor(max_workers=1)
+
+    def put(item):
+        bucket, batch = item
+        return bucket, jax.tree.map(lambda x: jax.device_put(x, sharding), batch)
+
+    queue: collections.deque = collections.deque()
+    try:
+        for item in batches:
+            queue.append(executor.submit(put, item))
+            if len(queue) > depth:
+                yield queue.popleft().result()
+        while queue:
+            yield queue.popleft().result()
+    finally:
+        executor.shutdown(wait=False, cancel_futures=True)
 
 
 def load_corpus(cfg: Config):
@@ -258,14 +298,16 @@ def train(
 
     step = int(jax.device_get(state.step))
     epoch = 0
+    last_eval = step
     t_last = time.time()
     while step < max_steps:
         epoch_batches = 0
-        for _, batch in batcher.epoch(cfg.training.seed + epoch, cfg.training.batch_size):
+        batch_iter = _prefetch_to_device(
+            batcher.epoch(cfg.training.seed + epoch, cfg.training.batch_size),
+            data_shard,
+        )
+        for _, batch in batch_iter:
             epoch_batches += 1
-            batch = jax.tree.map(
-                lambda x: jax.device_put(x, data_shard), batch
-            )
             state, metrics = train_step(state, batch)
             step += 1
             if step % log_every == 0:
@@ -285,7 +327,10 @@ def train(
                 "corpus is empty — widen the buckets or check the dataset"
             )
         epoch += 1
-        if eval_batcher is not None:
+        # Evaluate at most once per eval_every steps (and always at the end).
+        due = (step - last_eval) >= min(cfg.evaluation.eval_every, max_steps)
+        if eval_batcher is not None and (due or step >= max_steps):
+            last_eval = step
             agg: Dict[str, float] = {}
             n = 0
             last_out = None
