@@ -261,3 +261,40 @@ def irdft(
         parts, inv,
         precision=precision, preferred_element_type=jnp.float32,
     )
+
+
+def _rdft_matrices_split(n: int):
+    """Traced split matrices: (cos (n,h), neg_sin (n,h), inv_re (h,n), inv_im (h,n))."""
+    half = n // 2 + 1
+    t = jax.lax.broadcasted_iota(jnp.int32, (n, half), 0)
+    k = jax.lax.broadcasted_iota(jnp.int32, (n, half), 1)
+    phase = ((t * k) % n).astype(jnp.float32) * np.float32(2.0 * np.pi / n)
+    cos = jnp.cos(phase)
+    nsin = -jnp.sin(phase)
+    w = np.full(half, 2.0, np.float32)
+    w[0] = 1.0
+    if n % 2 == 0:
+        w[-1] = 1.0
+    w_col = jnp.asarray(w)[:, None] * np.float32(1.0 / n)
+    return cos, nsin, w_col * cos.T, w_col * nsin.T
+
+
+def rdft_ri(x, n, precision=jax.lax.Precision.DEFAULT, consts=None):
+    """Real DFT returning (re, im) as separate arrays — no complex dtype,
+    no concat/slice materializations (two direct GEMMs)."""
+    cos, nsin, _, _ = consts if consts is not None else _rdft_matrices_split(n)
+    mm = lambda a, b: jnp.matmul(  # noqa: E731
+        a, b.astype(a.dtype), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return mm(x, cos), mm(x, nsin)
+
+
+def irdft_ri(re, im, n, precision=jax.lax.Precision.DEFAULT, consts=None):
+    """Inverse real DFT from (re, im) parts — two direct GEMMs."""
+    _, _, inv_re, inv_im = consts if consts is not None else _rdft_matrices_split(n)
+    mm = lambda a, b: jnp.matmul(  # noqa: E731
+        a, b.astype(a.dtype), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+    return mm(re, inv_re) + mm(im, inv_im)

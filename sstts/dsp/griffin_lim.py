@@ -46,12 +46,29 @@ def griffin_lim(
     update (Perraudin et al. 2013): the projected spectrum is extrapolated by
     `momentum * (c_t - c_{t-1})` before taking the phase, converging to the
     60-iteration quality in roughly half the iterations at momentum~0.99.
+
+    "dft*" impls run the loop in pure real arithmetic — (re, im) arrays, two
+    direct GEMMs per transform, no complex dtype and no concat/slice
+    materializations — with bf16 storage under "dft_default" (halves the
+    loop's HBM traffic; bf16 phase noise measurably *helps* convergence, see
+    GL_FFT_IMPL).  The final synthesis pass always runs f32.
     """
     magnitude = magnitude.astype(jnp.float32)
     n_frames = magnitude.shape[-2]
     if 1 + length // hop_length < n_frames:
         raise ValueError(
             f"length={length} too short for {n_frames} frames at hop={hop_length}"
+        )
+    if fft_impl.startswith("dft"):
+        return _griffin_lim_real(
+            magnitude, n_fft, hop_length, win_length, n_iters, length,
+            momentum,
+            loop_dtype=jnp.bfloat16 if fft_impl == "dft_default" else jnp.float32,
+            precision={
+                "dft_default": jax.lax.Precision.DEFAULT,
+                "dft_high": jax.lax.Precision.HIGH,
+                "dft_highest": jax.lax.Precision.HIGHEST,
+            }[fft_impl],
         )
 
     def project(angles):
@@ -77,6 +94,75 @@ def griffin_lim(
     s0 = jnp.zeros_like(magnitude, dtype=jnp.complex64)
     angles, _ = jax.lax.fori_loop(0, n_iters, body, (angles0, s0))
     return project(angles)
+
+
+def _griffin_lim_real(
+    magnitude: jnp.ndarray,
+    n_fft: int,
+    hop_length: int,
+    win_length: int,
+    n_iters: int,
+    length: int,
+    momentum: float,
+    loop_dtype,
+    precision,
+) -> jnp.ndarray:
+    """Real-arithmetic GL loop over direct-DFT GEMMs (see `griffin_lim`)."""
+    from sstts.dsp import fft as mmfft
+    from sstts.dsp.stft import _window, _window_sum_sq, frame_signal, overlap_add
+
+    n_frames = magnitude.shape[-2]
+    window = jnp.asarray(_window(n_fft, win_length))
+    inv_wss = jnp.asarray(_window_sum_sq(n_fft, hop_length, win_length, n_frames))
+    mag_d = magnitude.astype(loop_dtype)
+
+    def synth(sr, si, consts, prec, dtype):
+        """(re, im) spectra -> time signal (one iSTFT)."""
+        frames = mmfft.irdft_ri(sr, si, n_fft, prec, consts).astype(dtype)
+        frames = frames * window.astype(dtype)
+        y = overlap_add(frames, hop_length) * inv_wss.astype(dtype)
+        start = n_fft // 2
+        return y[..., start : start + length]
+
+    def analyze(y, consts, prec, dtype):
+        pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+        yp = jnp.pad(y, pad, mode="reflect")
+        frames = frame_signal(yp, n_fft, hop_length) * window.astype(dtype)
+        sr, si = mmfft.rdft_ri(frames, n_fft, prec, consts)
+        return sr[..., :n_frames, :].astype(dtype), si[..., :n_frames, :].astype(dtype)
+
+    consts = mmfft._rdft_matrices_split(n_fft)  # built once, loop-invariant
+
+    def normalize(er, ei):
+        # Normalize in f32 (rsqrt under bf16 squaring underflows quiet bins).
+        er32, ei32 = er.astype(jnp.float32), ei.astype(jnp.float32)
+        inv = jax.lax.rsqrt(er32 * er32 + ei32 * ei32 + 1e-24)
+        return (er32 * inv).astype(loop_dtype), (ei32 * inv).astype(loop_dtype)
+
+    def body(_, carry):
+        if momentum > 0.0:
+            ar, ai, pr, pi = carry
+        else:
+            ar, ai = carry
+        y = synth(mag_d * ar, mag_d * ai, consts, precision, loop_dtype)
+        sr, si = analyze(y, consts, precision, loop_dtype)
+        if momentum > 0.0:
+            m = loop_dtype(momentum)
+            ar, ai = normalize(sr + m * (sr - pr), si + m * (si - pi))
+            return ar, ai, sr, si
+        return normalize(sr, si)
+
+    ar0 = jnp.ones_like(mag_d)
+    ai0 = jnp.zeros_like(mag_d)
+    init = (ar0, ai0, ai0, ai0) if momentum > 0.0 else (ar0, ai0)
+    out = jax.lax.fori_loop(0, n_iters, body, init)
+    ar, ai = out[0], out[1]
+    # Final synthesis in f32 at HIGH precision for output quality.
+    return synth(
+        magnitude * ar.astype(jnp.float32),
+        magnitude * ai.astype(jnp.float32),
+        consts, jax.lax.Precision.HIGH, jnp.float32,
+    )
 
 
 def spectrogram_to_wav(
