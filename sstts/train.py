@@ -254,12 +254,21 @@ def _prefetch_to_device(batches: Iterator, sharding, depth: int = 2):
 
 
 def load_corpus(cfg: Config):
-    """Corpus dispatch: real LJSpeech layout or the synthetic fallback."""
+    """Corpus dispatch.
+
+    - "ljspeech" / "csv": any LJSpeech-layout corpus on disk
+      (`metadata.csv` with ``id|text|normalized text`` rows + ``wavs/``) —
+      this covers the thesis's other corpora (Blizzard-Nancy, German) once
+      exported to the same layout; set `dataset.sample_rate` accordingly.
+    - "synthetic": the deterministic in-memory corpus (tests/benches).
+    """
     if cfg.dataset.dataset == "synthetic":
         utts = make_utterances(256, cfg.dataset)
         return train_eval_split(utts, max(cfg.dataset.eval_fraction, 0.05))
-    utts = load_metadata(cfg.dataset)
-    return train_eval_split(utts, cfg.dataset.eval_fraction)
+    if cfg.dataset.dataset in ("ljspeech", "csv"):
+        utts = load_metadata(cfg.dataset)
+        return train_eval_split(utts, cfg.dataset.eval_fraction)
+    raise ValueError(f"unknown dataset kind: {cfg.dataset.dataset!r}")
 
 
 def train(

@@ -247,3 +247,21 @@ def test_rdft_impl_in_gl_matches_xla_impl(rng):
     b = np.asarray(gl.griffin_lim(jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 4, n, fft_impl="dft_high"))
     scale = np.abs(a).max()
     np.testing.assert_allclose(a / scale, b / scale, atol=5e-4)
+
+
+def test_resample_preserves_tone_frequency():
+    from sstts.dsp.resample import resample
+
+    sr1, sr2, f0 = 16000, 22050, 440.0
+    t = np.arange(sr1) / sr1
+    y = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+    out = resample(y, sr1, sr2)
+    assert abs(len(out) - sr2) <= 2
+    # Dominant frequency survives the rate change.
+    spec = np.abs(np.fft.rfft(out[1000:-1000] * np.hanning(len(out) - 2000)))
+    freq = np.fft.rfftfreq(len(out) - 2000, 1 / sr2)[np.argmax(spec)]
+    assert abs(freq - f0) < 2.0, freq
+    # Amplitude roughly preserved.
+    assert 0.8 < np.abs(out[2000:-2000]).max() < 1.2
+    # Identity when rates match.
+    np.testing.assert_array_equal(resample(y, sr1, sr1), y)
