@@ -60,6 +60,8 @@ class DatasetConfig:
     max_text_len: int = 256
     #: Maximum mel frames kept in the corpus (training-time cap).
     max_frames: int = 1024
+    #: Utterance count for the synthetic corpus (dataset="synthetic").
+    synthetic_size: int = 256
 
     @property
     def win_len(self) -> int:

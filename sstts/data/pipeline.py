@@ -16,7 +16,6 @@ padded-batch outputs consistent with unpadded inference).
 
 from __future__ import annotations
 
-from dataclasses import dataclass
 from typing import Dict, Iterator, List, Sequence, Tuple
 
 import numpy as np
@@ -121,13 +120,6 @@ def make_batch(
         "n_frames": frames,
         "loss_frames": loss_frames,
     }
-
-
-@dataclass
-class PreparedExample:
-    ids: np.ndarray
-    audio: np.ndarray
-    bucket: int
 
 
 class Batcher:

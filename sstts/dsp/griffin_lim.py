@@ -109,29 +109,49 @@ def _griffin_lim_real(
 ) -> jnp.ndarray:
     """Real-arithmetic GL loop over direct-DFT GEMMs (see `griffin_lim`)."""
     from sstts.dsp import fft as mmfft
-    from sstts.dsp.stft import _window, _window_sum_sq, frame_signal, overlap_add
+    from sstts.dsp.stft import _window, _window_sum_sq, frame_signal, overlap_add  # noqa: F401
 
     n_frames = magnitude.shape[-2]
-    window = jnp.asarray(_window(n_fft, win_length))
-    inv_wss = jnp.asarray(_window_sum_sq(n_fft, hop_length, win_length, n_frames))
+    window_np = _window(n_fft, win_length)
+    inv_wss_full = _window_sum_sq(n_fft, hop_length, win_length, n_frames)
+    # Window-support-reduced transform (see fft._rdft_matrices_windowed):
+    # frames carry only the `w_len` nonzero window taps, the window folds
+    # into the matrices, and OLA runs over fewer overlap phases.
+    lo, w_len, cos_w, nsin_w, inv_re_w, inv_im_w = (
+        mmfft._rdft_matrices_windowed(n_fft, window_np)
+    )
+    # Trimmed normalization envelope: OLA output starts at padded position
+    # `lo`; the final signal is padded positions [n_fft//2, n_fft//2+length).
+    start = n_fft // 2 - lo
+    inv_wss = jnp.asarray(
+        inv_wss_full[n_fft // 2 : n_fft // 2 + length]
+    )
     mag_d = magnitude.astype(loop_dtype)
 
-    def synth(sr, si, consts, prec, dtype):
-        """(re, im) spectra -> time signal (one iSTFT)."""
-        frames = mmfft.irdft_ri(sr, si, n_fft, prec, consts).astype(dtype)
-        frames = frames * window.astype(dtype)
-        y = overlap_add(frames, hop_length) * inv_wss.astype(dtype)
-        start = n_fft // 2
-        return y[..., start : start + length]
+    def synth(sr, si, prec, dtype):
+        """(re, im) spectra -> time signal (one reduced iSTFT)."""
+        mm = lambda a, b: jnp.matmul(  # noqa: E731
+            a, b.astype(a.dtype), precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        frames = (mm(sr, inv_re_w) + mm(si, inv_im_w)).astype(dtype)
+        y = overlap_add(frames, hop_length)
+        short = start + length - y.shape[-1]
+        if short > 0:  # tail beyond the last frame's window support
+            y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, short)])
+        return y[..., start : start + length] * inv_wss.astype(dtype)
 
-    def analyze(y, consts, prec, dtype):
+    def analyze(y, prec, dtype):
         pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
         yp = jnp.pad(y, pad, mode="reflect")
-        frames = frame_signal(yp, n_fft, hop_length) * window.astype(dtype)
-        sr, si = mmfft.rdft_ri(frames, n_fft, prec, consts)
-        return sr[..., :n_frames, :].astype(dtype), si[..., :n_frames, :].astype(dtype)
-
-    consts = mmfft._rdft_matrices_split(n_fft)  # built once, loop-invariant
+        frames = frame_signal(yp[..., lo:], w_len, hop_length)
+        mm = lambda a, b: jnp.matmul(  # noqa: E731
+            a, b.astype(a.dtype), precision=prec,
+            preferred_element_type=jnp.float32,
+        )
+        sr = mm(frames, cos_w)[..., :n_frames, :].astype(dtype)
+        si = mm(frames, nsin_w)[..., :n_frames, :].astype(dtype)
+        return sr, si
 
     def normalize(er, ei):
         # Normalize in f32 (rsqrt under bf16 squaring underflows quiet bins).
@@ -144,8 +164,8 @@ def _griffin_lim_real(
             ar, ai, pr, pi = carry
         else:
             ar, ai = carry
-        y = synth(mag_d * ar, mag_d * ai, consts, precision, loop_dtype)
-        sr, si = analyze(y, consts, precision, loop_dtype)
+        y = synth(mag_d * ar, mag_d * ai, precision, loop_dtype)
+        sr, si = analyze(y, precision, loop_dtype)
         if momentum > 0.0:
             m = loop_dtype(momentum)
             ar, ai = normalize(sr + m * (sr - pr), si + m * (si - pi))
@@ -161,7 +181,7 @@ def _griffin_lim_real(
     return synth(
         magnitude * ar.astype(jnp.float32),
         magnitude * ai.astype(jnp.float32),
-        consts, jax.lax.Precision.HIGH, jnp.float32,
+        jax.lax.Precision.HIGH, jnp.float32,
     )
 
 

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 from sstts.config import ArchitectureConfig, DatasetConfig
 from sstts.data.text import VOCAB_SIZE
-from sstts.model.decoder import DecoderCell, StepOutput, teacher_inputs
+from sstts.model.decoder import DecoderCell, teacher_inputs
 from sstts.model.modules import CBHG, PreNet
 
 

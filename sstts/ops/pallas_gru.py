@@ -21,7 +21,6 @@ compare both (interpret mode on CPU, compiled on TPU).
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax
@@ -98,7 +97,6 @@ def gru_sequence(
         pl.BlockSpec((1, 3 * hidden), const2, memory_space=pltpu.VMEM),
     ]
     args = [xs_t, wx.astype(jnp.float32), wh.astype(jnp.float32), b2]
-    kernel = functools.partial(_kernel)
     if mask is not None:
         # (T, B, 1): a trailing unit dim keeps the block tiling legal on TPU
         # (a (1, B) block violates the sublane-divisibility constraint).

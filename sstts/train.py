@@ -10,10 +10,8 @@ scalars, and checkpoint I/O.
 from __future__ import annotations
 
 import collections
-import dataclasses
 import time
 from concurrent.futures import ThreadPoolExecutor
-from functools import partial
 from pathlib import Path
 from typing import Any, Dict, Iterator, Optional, Tuple
 
@@ -263,7 +261,7 @@ def load_corpus(cfg: Config):
     - "synthetic": the deterministic in-memory corpus (tests/benches).
     """
     if cfg.dataset.dataset == "synthetic":
-        utts = make_utterances(256, cfg.dataset)
+        utts = make_utterances(cfg.dataset.synthetic_size, cfg.dataset)
         return train_eval_split(utts, max(cfg.dataset.eval_fraction, 0.05))
     if cfg.dataset.dataset in ("ljspeech", "csv"):
         utts = load_metadata(cfg.dataset)
