@@ -43,6 +43,61 @@ def evaluate_state(
     return {k: v / max(n, 1) for k, v in agg.items()}
 
 
+def resynthesis_metrics(
+    cfg: Config,
+    state: TrainState,
+    num_utterances: int = 8,
+) -> Dict[str, float]:
+    """The SURVEY.md §6 acceptance metric, self-consistent form: synthesize
+    eval-split texts autoregressively and measure mel-L1 between the
+    *generated* mel and the ground-truth features over the overlapping
+    frames, plus stop-token length accuracy."""
+    import numpy as np
+
+    from sstts.data import pipeline as pm
+    from sstts.data import text as text_mod
+    from sstts.dsp.ops import wav_to_features
+
+    train_utts, eval_utts = load_corpus(cfg)
+    utts = (eval_utts or train_utts)[:num_utterances]
+    # Build the batch directly in utterance order (the training Batcher
+    # shuffles and bucket-drops, which would misalign rows vs texts here).
+    r = cfg.arch.reduction_factor
+    items = [
+        (text_mod.encode(u.text), pm.load_audio(u, cfg)) for u in utts
+    ]
+    text_len = max(len(ids) for ids, _ in items)
+    max_frames = max(1 + len(a) // cfg.dataset.hop_len for _, a in items)
+    fr = -(-max_frames // r) * r
+    batch = pm.make_batch(items, text_len, fr, cfg)
+    samples = jnp.asarray(batch["samples"]).astype(jnp.float32) / 32767.0
+    _, gt_mel = jax.jit(lambda s: wav_to_features(s, cfg.dataset))(samples)
+    synth = Synthesizer(cfg, state.params, state.batch_stats)
+    _, full = synth.synthesize_batch(
+        [u.text for u in utts], full_output=True
+    )
+    l1s, len_errs = [], []
+    for i in range(len(utts)):
+        gt_frames = int(batch["loss_frames"][i])
+        gen_frames = int(full["n_frames"][i])
+        n = min(gt_frames, gen_frames)
+        if n >= 8:
+            l1s.append(
+                float(
+                    np.abs(
+                        np.asarray(full["mel"][i, :n])
+                        - np.asarray(gt_mel[i, :n])
+                    ).mean()
+                )
+            )
+        len_errs.append(abs(gen_frames - gt_frames) / max(gt_frames, 1))
+    return {
+        "resynthesis_mel_l1": float(np.mean(l1s)) if l1s else float("nan"),
+        "resynthesis_len_rel_err": float(np.mean(len_errs)),
+        "resynthesis_utterances": float(len(utts)),
+    }
+
+
 def evaluate(
     cfg: Config,
     workdir: str | Path,
@@ -56,6 +111,10 @@ def evaluate(
     if step is None:
         raise FileNotFoundError(f"no checkpoint found under {workdir}")
     metrics = evaluate_state(cfg, state, num_batches)
+    try:
+        metrics.update(resynthesis_metrics(cfg, state))
+    except (ValueError, FileNotFoundError) as e:
+        print(f"[warn] resynthesis metrics skipped: {e}", flush=True)
     logger = MetricsLogger(workdir)
     logger.log(step, metrics, prefix="eval")
 

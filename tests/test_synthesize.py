@@ -96,3 +96,21 @@ def test_long_form_fixed_shape_scan(synth):
     assert full["n_frames"][0] <= 64 * r
     assert len(wavs[0]) == int(full["n_samples"][0])
     assert np.isfinite(wavs[0]).all()
+
+
+def test_resynthesis_metrics(synth, tmp_path):
+    import dataclasses as dc
+    import jax
+    from sstts.evaluate import resynthesis_metrics
+    from sstts.train import create_state
+
+    cfg, _ = synth
+    cfg = cfg.replace(
+        dataset=dc.replace(cfg.dataset, synthetic_size=16),
+        training=dc.replace(cfg.training, text_buckets=(64,), frame_buckets=(512,)),
+    )
+    state = jax.device_get(create_state(cfg))
+    m = resynthesis_metrics(cfg, state, num_utterances=2)
+    # The tiny synthetic eval split may hold fewer than the requested count.
+    assert 1 <= m["resynthesis_utterances"] <= 2
+    assert m["resynthesis_len_rel_err"] >= 0
