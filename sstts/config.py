@@ -119,6 +119,10 @@ class ArchitectureConfig:
     loss_low_freq_hz: float = 3000.0
     #: Weight on the stop-token BCE (rebuild addition — SURVEY.md §2.2).
     stop_token_weight: float = 1.0
+    #: Guided-attention diagonal prior (Tachibana et al. 2017), opt-in
+    #: extension over the reference: 0.0 disables (default).
+    guided_attention_weight: float = 0.0
+    guided_attention_sigma: float = 0.2
     #: Parameter / activation dtype for the compute path ("bfloat16" | "float32").
     compute_dtype: str = "float32"
 

@@ -44,6 +44,7 @@ def tacotron_loss(
     loss_frames: jnp.ndarray,
     arch: ArchitectureConfig,
     data: DatasetConfig,
+    text_lengths: jnp.ndarray = None,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     total = mel_gt.shape[1]
     mask = frame_mask_from_lengths(loss_frames, total)
@@ -68,12 +69,23 @@ def tacotron_loss(
     l_stop = jnp.sum(bce * stop_mask) / jnp.maximum(jnp.sum(stop_mask), 1.0)
 
     loss = l_mel + l_linear + arch.stop_token_weight * l_stop
-    return loss, {
-        "loss": loss,
+    metrics = {
         "loss_mel": l_mel,
         "loss_linear": l_linear,
         "loss_stop": l_stop,
     }
+    if arch.guided_attention_weight > 0.0 and text_lengths is not None:
+        dec_steps = jnp.ceil(
+            loss_frames.astype(jnp.float32) / arch.reduction_factor
+        )
+        l_attn = guided_attention_loss(
+            outputs["alignments"], text_lengths.astype(jnp.float32),
+            dec_steps, arch.guided_attention_sigma,
+        )
+        loss = loss + arch.guided_attention_weight * l_attn
+        metrics["loss_attn"] = l_attn
+    metrics["loss"] = loss
+    return loss, metrics
 
 
 def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -81,3 +93,29 @@ def optax_sigmoid_bce(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
     return jnp.maximum(logits, 0.0) - logits * labels + jnp.log1p(
         jnp.exp(-jnp.abs(logits))
     )
+
+
+def guided_attention_loss(
+    alignments: jnp.ndarray,
+    text_lengths: jnp.ndarray,
+    decoder_steps: jnp.ndarray,
+    sigma: float,
+) -> jnp.ndarray:
+    """Diagonal attention prior (Tachibana et al. 2017, arXiv 1710.08969).
+
+    Penalizes attention mass far from the text/audio diagonal:
+    W[s, t] = 1 - exp(-(t/T - s/S)^2 / (2 sigma^2)), masked to each
+    utterance's valid (decoder steps x text length) region.  An opt-in
+    extension over the reference (guided_attention_weight=0 disables).
+    """
+    b, s_len, t_len = alignments.shape
+    s_pos = jax.lax.broadcasted_iota(jnp.float32, (1, s_len, 1), 1)
+    t_pos = jax.lax.broadcasted_iota(jnp.float32, (1, 1, t_len), 2)
+    s_norm = s_pos / jnp.maximum(decoder_steps.reshape(b, 1, 1), 1.0)
+    t_norm = t_pos / jnp.maximum(text_lengths.reshape(b, 1, 1), 1.0)
+    w = 1.0 - jnp.exp(-((t_norm - s_norm) ** 2) / (2.0 * sigma**2))
+    mask = (
+        (s_pos < decoder_steps.reshape(b, 1, 1))
+        & (t_pos < text_lengths.reshape(b, 1, 1))
+    ).astype(jnp.float32)
+    return jnp.sum(alignments * w * mask) / jnp.maximum(jnp.sum(mask), 1.0)

@@ -131,7 +131,8 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
                 mutable=["batch_stats"],
             )
             loss, metrics = tacotron_loss(
-                out, mel_gt, linear_gt, batch["loss_frames"], cfg.arch, cfg.dataset
+                out, mel_gt, linear_gt, batch["loss_frames"], cfg.arch,
+                cfg.dataset, text_lengths=batch["text_len"],
             )
             return loss, (metrics, mutated["batch_stats"], out)
 
@@ -180,7 +181,8 @@ def make_eval_step(cfg: Config):
             rngs={"dropout": jax.random.PRNGKey(0)},
         )
         _, metrics = tacotron_loss(
-            out, mel_gt, linear_gt, batch["loss_frames"], cfg.arch, cfg.dataset
+            out, mel_gt, linear_gt, batch["loss_frames"], cfg.arch,
+            cfg.dataset, text_lengths=batch["text_len"],
         )
         return metrics, out
 

@@ -218,3 +218,44 @@ def test_local_luong_attention_variant(setup):
     assert np.isfinite(np.asarray(out["mel"])).all()
     sums = np.asarray(out["alignments"].sum(-1))
     np.testing.assert_allclose(sums, 1.0, atol=1e-5)
+
+
+def test_guided_attention_loss():
+    from sstts.model.losses import guided_attention_loss
+
+    B, S, T = 2, 6, 10
+    # Perfectly diagonal attention -> near-zero penalty; anti-diagonal -> large.
+    diag = np.zeros((B, S, T), np.float32)
+    anti = np.zeros((B, S, T), np.float32)
+    for s in range(S):
+        diag[:, s, int(s / S * T)] = 1.0
+        anti[:, s, T - 1 - int(s / S * T)] = 1.0
+    lens = jnp.full((B,), T, jnp.float32)
+    steps = jnp.full((B,), S, jnp.float32)
+    l_diag = float(guided_attention_loss(jnp.asarray(diag), lens, steps, 0.2))
+    l_anti = float(guided_attention_loss(jnp.asarray(anti), lens, steps, 0.2))
+    assert l_diag < 0.1 * l_anti, (l_diag, l_anti)
+
+
+def test_guided_attention_in_train_step():
+    import dataclasses as dc
+    from sstts import train as train_mod
+    from sstts.config import tiny_config
+    from sstts.data import pipeline as pm
+    from sstts.data.synthetic import make_utterances
+
+    cfg = tiny_config()
+    cfg = cfg.replace(
+        dataset=dc.replace(cfg.dataset, dataset="synthetic", sample_rate=8000, mel_fmax=4000.0),
+        arch=dc.replace(cfg.arch, guided_attention_weight=1.0),
+        training=dc.replace(cfg.training, batch_size=2, text_buckets=(48,), frame_buckets=(96,)),
+    )
+    utts = make_utterances(8, cfg.dataset, min_words=1, max_words=2)
+    b = pm.Batcher(utts, cfg)
+    for _, batch in b.epoch(0, 2):
+        break
+    state = train_mod.create_state(cfg)
+    step = train_mod.make_train_step(cfg)
+    state, metrics = step(state, jax.tree.map(jnp.asarray, batch))
+    assert "loss_attn" in metrics
+    assert np.isfinite(float(metrics["loss_attn"]))
