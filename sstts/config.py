@@ -181,6 +181,15 @@ class InferenceConfig:
     stop_threshold: float = 0.5
     #: Minimum decoder steps before the stop token can fire.
     min_decoder_steps: int = 8
+    #: Split Griffin-Lim vocoding into this many sub-batch programs so the
+    #: host fetch of finished chunks overlaps the device compute of later
+    #: ones (and the host link carries several PCM16 streams concurrently).
+    #: 1 = single fused program (bitwise-stable default); 8 measured fastest
+    #: on the v5e relay (BASELINE.md).  Only affects synthesis throughput,
+    #: never the math: chunked and fused paths share one vocoder function.
+    pipeline_chunks: int = 1
+    #: Concurrent host-fetch threads when pipeline_chunks > 1.
+    fetch_threads: int = 4
     output_dir: str = "synthesized"
 
 

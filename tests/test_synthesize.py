@@ -114,3 +114,39 @@ def test_resynthesis_metrics(synth, tmp_path):
     # The tiny synthetic eval split may hold fewer than the requested count.
     assert 1 <= m["resynthesis_utterances"] <= 2
     assert m["resynthesis_len_rel_err"] >= 0
+
+
+def test_pipelined_chunked_synthesis_matches_fused(synth):
+    """pipeline_chunks>1 is a throughput knob, never a math change."""
+    cfg, s = synth
+    texts = ["hello world", "a longer sentence", "hi", "four texts here"]
+    fused = s.synthesize_batch(texts)
+
+    chunked_cfg = cfg.replace(
+        inference=dataclasses.replace(
+            cfg.inference, pipeline_chunks=2, fetch_threads=2
+        )
+    )
+    s2 = Synthesizer(chunked_cfg, jax.device_get(s.variables)["params"],
+                     jax.device_get(s.variables)["batch_stats"])
+    chunked = s2.synthesize_batch(texts)
+    assert len(fused) == len(chunked)
+    for a, b in zip(fused, chunked):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_pipelined_chunks_non_divisible_batch(synth):
+    cfg, s = synth
+    chunked_cfg = cfg.replace(
+        inference=dataclasses.replace(
+            cfg.inference, pipeline_chunks=4, fetch_threads=2
+        )
+    )
+    s2 = Synthesizer(chunked_cfg, jax.device_get(s.variables)["params"],
+                     jax.device_get(s.variables)["batch_stats"])
+    # batch=3 with pipeline_chunks=4 -> falls back to 3 chunks of 1.
+    wavs = s2.synthesize_batch(["one", "two texts", "three little words"])
+    assert len(wavs) == 3
+    for w in wavs:
+        assert np.isfinite(w).all() and len(w) > 0
