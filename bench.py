@@ -51,15 +51,22 @@ def main() -> None:
         "the quick brown fox jumps over the lazy dog " * 2,
     ] * batch
 
-    # Warm-up compiles the program.
+    # Warm-up compiles the programs.
     wavs = synth.synthesize_batch(texts)
-    n_trials = 3
+    # Steady-state streaming throughput (the serving configuration): up to
+    # `depth` batches in flight, so each batch's PCM16 fetch drains over the
+    # host link while the next batch computes.  Per-call latency of a single
+    # synthesize_batch is reported in BASELINE.md alongside.
+    n_batches = 8
     times = []
-    for _ in range(n_trials):
+    for _ in range(3):
         t0 = time.perf_counter()
-        wavs = synth.synthesize_batch(texts)
+        n_out = 0
+        for out in synth.synthesize_stream([texts] * n_batches):
+            n_out += len(out)
         times.append(time.perf_counter() - t0)
-    wall = float(np.median(times))
+        assert n_out == n_batches * batch
+    wall = float(np.median(times)) / n_batches
     frames = cfg.inference.max_decoder_steps * cfg.arch.reduction_factor
     audio_seconds = batch * (frames - 1) * cfg.dataset.hop_len / cfg.dataset.sample_rate
     rtf = audio_seconds / wall

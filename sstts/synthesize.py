@@ -135,14 +135,19 @@ class Synthesizer:
             n -= 1
         return n
 
-    def synthesize_batch(
+    def _dispatch(
         self,
         texts: Sequence[str],
         max_steps: Optional[int] = None,
         text_bucket: Optional[int] = None,
-        full_output: bool = False,
-    ) -> List[np.ndarray] | Tuple[List[np.ndarray], Dict[str, np.ndarray]]:
-        """Texts -> list of float32 waveforms (trimmed to each stop token)."""
+    ) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+        """Launch the pipelined programs for one batch; return device handles.
+
+        One prepare program (encoder + AR decoder + post-CBHG, full batch —
+        the decoder scan is latency-bound, so it must NOT be chunked), then
+        `pipeline_chunks` Griffin-Lim programs.  All dispatches are
+        asynchronous; nothing is fetched here.
+        """
         cfg = self.cfg
         max_steps = max_steps or cfg.inference.max_decoder_steps
         encoded = [text_mod.encode(t) for t in texts]
@@ -152,33 +157,100 @@ class Synthesizer:
         for i, e in enumerate(encoded):
             ids[i, : len(e)] = e
         self._rng, rng = jax.random.split(self._rng)
+        prep = self._prepare(
+            self.variables, jnp.asarray(ids), rng, max_steps=max_steps
+        )
         n_chunks = self._chunk_count(len(texts))
-        if not full_output and n_chunks > 1:
-            # Pipelined path: one prepare program (encoder + AR decoder +
-            # post-CBHG, full batch — the decoder scan is latency-bound, so
-            # it must NOT be chunked), then `n_chunks` Griffin-Lim programs
-            # dispatched asynchronously.  Fetching finished chunks from
+        size = len(texts) // n_chunks
+        outs = [
+            self._vocode_chunk(prep["linear"], i * size, size=size)
+            for i in range(n_chunks)
+        ]
+        return outs, prep["n_samples"]
+
+    @staticmethod
+    def _trim(wav_i16: np.ndarray, n_samples: np.ndarray) -> List[np.ndarray]:
+        return [
+            wav_i16[i, : int(n_samples[i])].astype(np.float32) / 32767.0
+            for i in range(wav_i16.shape[0])
+        ]
+
+    def synthesize_stream(
+        self,
+        batches,
+        max_steps: Optional[int] = None,
+        text_bucket: Optional[int] = None,
+        depth: int = 2,
+    ):
+        """Stream batches at steady-state throughput (serving pipeline).
+
+        Yields one `List[np.ndarray]` of waveforms per input batch.  Up to
+        `depth` batches are in flight: while batch i's PCM16 chunks drain
+        over the host link, batch i+1's programs already execute — at the
+        headline workload the link is the floor (~40 MiB/s aggregate,
+        `scripts/profile_gl_parts.py`), so steady-state throughput reaches
+        the link ceiling instead of paying compute + fetch per call.
+        Batches should share one (batch, text bucket, max_steps) shape to
+        reuse a single compiled program set.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        pool = ThreadPoolExecutor(max(1, self.cfg.inference.fetch_threads))
+        pending = deque()
+        try:
+            for texts in batches:
+                outs, n_samples = self._dispatch(texts, max_steps, text_bucket)
+                pending.append(
+                    (
+                        [pool.submit(jax.device_get, o) for o in outs],
+                        pool.submit(jax.device_get, n_samples),
+                    )
+                )
+                if len(pending) > depth:
+                    futs, nfut = pending.popleft()
+                    yield self._trim(
+                        np.concatenate([f.result() for f in futs], 0),
+                        nfut.result(),
+                    )
+            while pending:
+                futs, nfut = pending.popleft()
+                yield self._trim(
+                    np.concatenate([f.result() for f in futs], 0), nfut.result()
+                )
+        finally:
+            pool.shutdown(wait=False)
+
+    def synthesize_batch(
+        self,
+        texts: Sequence[str],
+        max_steps: Optional[int] = None,
+        text_bucket: Optional[int] = None,
+        full_output: bool = False,
+    ) -> List[np.ndarray] | Tuple[List[np.ndarray], Dict[str, np.ndarray]]:
+        """Texts -> list of float32 waveforms (trimmed to each stop token)."""
+        cfg = self.cfg
+        if not full_output and self._chunk_count(len(texts)) > 1:
+            # Pipelined path: fetching finished Griffin-Lim chunks from
             # several threads overlaps the host transfer with the compute of
             # later chunks AND multiplexes the per-stream-limited relay link
             # (measured 605 -> 360 ms on the b=32 headline workload).
-            prep = self._prepare(
-                self.variables, jnp.asarray(ids), rng, max_steps=max_steps
-            )
-            size = len(texts) // n_chunks
-            outs = [
-                self._vocode_chunk(prep["linear"], i * size, size=size)
-                for i in range(n_chunks)
-            ]
             from concurrent.futures import ThreadPoolExecutor
 
-            with ThreadPoolExecutor(self.cfg.inference.fetch_threads) as ex:
+            outs, n_samples = self._dispatch(texts, max_steps, text_bucket)
+            with ThreadPoolExecutor(cfg.inference.fetch_threads) as ex:
                 host = list(ex.map(jax.device_get, outs))
-            n_samples = jax.device_get(prep["n_samples"])
-            wav_i16 = np.concatenate(host, axis=0)
-            return [
-                wav_i16[i, : int(n_samples[i])].astype(np.float32) / 32767.0
-                for i in range(len(texts))
-            ]
+            return self._trim(
+                np.concatenate(host, axis=0), jax.device_get(n_samples)
+            )
+        max_steps = max_steps or cfg.inference.max_decoder_steps
+        encoded = [text_mod.encode(t) for t in texts]
+        longest = max(len(e) for e in encoded)
+        bucket = text_bucket or min(_round_up(longest, 32), cfg.dataset.max_text_len)
+        ids = np.zeros((len(texts), max(bucket, longest)), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+        self._rng, rng = jax.random.split(self._rng)
         out = self._program(
             self.variables, jnp.asarray(ids), rng, max_steps=max_steps
         )

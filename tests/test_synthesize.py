@@ -150,3 +150,16 @@ def test_pipelined_chunks_non_divisible_batch(synth):
     assert len(wavs) == 3
     for w in wavs:
         assert np.isfinite(w).all() and len(w) > 0
+
+
+def test_synthesize_stream_matches_batch(synth):
+    cfg, s = synth
+    texts = ["hello world", "stream me"]
+    want = s.synthesize_batch(texts)
+    got_batches = list(s.synthesize_stream([texts] * 3, depth=2))
+    assert len(got_batches) == 3
+    for got in got_batches:
+        assert len(got) == len(want)
+        for a, b in zip(want, got):
+            assert a.shape == b.shape
+            np.testing.assert_allclose(a, b, atol=1e-4)
