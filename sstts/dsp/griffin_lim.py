@@ -28,6 +28,14 @@ import sstts.dsp.stft as stft_mod
 #: always uses the f32-exact default path; the mel-L1 gate is unaffected.
 GL_FFT_IMPL = "dft_default"
 
+#: Data path between the two DFT GEMMs of a Griffin-Lim iteration:
+#: "banded" = single fused banded shift-add in the frames domain
+#: (`sstts.dsp.reproject`, one XLA fusion, no time-domain temporaries);
+#: "composed" = explicit overlap-add -> normalize -> reflect-pad -> re-frame
+#: (the reference formulation, kept as the correctness oracle).  Both are
+#: bit-comparable up to f32 summation order (tests/test_dsp.py).
+GL_DATA_PATH = "banded"
+
 
 def griffin_lim(
     magnitude: jnp.ndarray,
@@ -109,6 +117,7 @@ def _griffin_lim_real(
 ) -> jnp.ndarray:
     """Real-arithmetic GL loop over direct-DFT GEMMs (see `griffin_lim`)."""
     from sstts.dsp import fft as mmfft
+    from sstts.dsp.reproject import reproject
     from sstts.dsp.stft import _window, _window_sum_sq, frame_signal, overlap_add  # noqa: F401
 
     n_frames = magnitude.shape[-2]
@@ -159,13 +168,44 @@ def _griffin_lim_real(
         inv = jax.lax.rsqrt(er32 * er32 + ei32 * ei32 + 1e-24)
         return (er32 * inv).astype(loop_dtype), (ei32 * inv).astype(loop_dtype)
 
+    # Loop-only lane-padded matrix copies: on the Pallas reprojection path
+    # the GEMMs emit/consume frames at the kernel's 128-aligned lane width,
+    # so no pad/slice copies remain between GEMM and kernel.  The final
+    # synthesis pass below keeps the exact-width matrices.
+    if jax.default_backend() == "tpu":
+        w_pad = -(-w_len // 128) * 128
+        cpad = [(0, w_pad - w_len), (0, 0)]
+        inv_re_l = jnp.pad(inv_re_w, cpad[::-1])
+        inv_im_l = jnp.pad(inv_im_w, cpad[::-1])
+        cos_l = jnp.pad(cos_w, cpad)
+        nsin_l = jnp.pad(nsin_w, cpad)
+    else:
+        inv_re_l, inv_im_l, cos_l, nsin_l = inv_re_w, inv_im_w, cos_w, nsin_w
+
+    def project(sr_in, si_in):
+        """Scaled spectra -> reprojected spectra (one GL phase projection)."""
+        if GL_DATA_PATH == "banded":
+            mm = lambda a, b: jnp.matmul(  # noqa: E731
+                a, b.astype(a.dtype), precision=precision,
+                preferred_element_type=jnp.float32,
+            )
+            frames = mm(sr_in, inv_re_l) + mm(si_in, inv_im_l)  # f32
+            frames = reproject(
+                frames.astype(loop_dtype), n_fft, hop_length, win_length,
+                length,
+            )
+            sr = mm(frames, cos_l)[..., :n_frames, :].astype(loop_dtype)
+            si = mm(frames, nsin_l)[..., :n_frames, :].astype(loop_dtype)
+            return sr, si
+        y = synth(sr_in, si_in, precision, loop_dtype)
+        return analyze(y, precision, loop_dtype)
+
     def body(_, carry):
         if momentum > 0.0:
             ar, ai, pr, pi = carry
         else:
             ar, ai = carry
-        y = synth(mag_d * ar, mag_d * ai, precision, loop_dtype)
-        sr, si = analyze(y, precision, loop_dtype)
+        sr, si = project(mag_d * ar, mag_d * ai)
         if momentum > 0.0:
             m = loop_dtype(momentum)
             ar, ai = normalize(sr + m * (sr - pr), si + m * (si - pi))

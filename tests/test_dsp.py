@@ -265,3 +265,88 @@ def test_resample_preserves_tone_frequency():
     assert 0.8 < np.abs(out[2000:-2000]).max() < 1.2
     # Identity when rates match.
     np.testing.assert_array_equal(resample(y, sr1, sr1), y)
+
+
+def test_banded_reprojection_matches_composed(rng):
+    """One GL phase projection: banded shift-add == istft->stft composition."""
+    from sstts.dsp.reproject import reproject_frames
+    from sstts.dsp.stft import _window, _window_sum_sq, frame_signal, overlap_add
+
+    for n_fft, hop, win_length, T in [(512, 100, 400, 23), (256, 64, 256, 9)]:
+        window = _window(n_fft, win_length)
+        nz = np.nonzero(window)[0]
+        lo = int(nz[0])
+        w_len = int(nz[-1]) + 1 - lo
+        start = n_fft // 2 - lo
+        length = (T - 1) * hop
+        F = jnp.asarray(rng.standard_normal((2, T, w_len)), jnp.float32)
+
+        def composed(frames):
+            inv_wss = jnp.asarray(
+                _window_sum_sq(n_fft, hop, win_length, T)[
+                    n_fft // 2 : n_fft // 2 + length
+                ]
+            )
+            y = overlap_add(frames, hop)
+            short = start + length - y.shape[-1]
+            if short > 0:
+                y = jnp.pad(y, [(0, 0)] * (y.ndim - 1) + [(0, short)])
+            y = y[..., start : start + length] * inv_wss
+            pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+            yp = jnp.pad(y, pad, mode="reflect")
+            return frame_signal(yp[..., lo:], w_len, hop)[..., :T, :]
+
+        a = np.asarray(composed(F))
+        b = np.asarray(reproject_frames(F, n_fft, hop, win_length, length))
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-4 * np.abs(a).max())
+
+
+def test_pallas_reprojection_matches_banded(rng):
+    """The Pallas kernel (interpret mode on CPU) == the XLA banded path."""
+    from sstts.dsp.reproject import reproject_frames, reproject_frames_pallas
+    from sstts.dsp.stft import _window
+
+    for n_fft, hop, win_length, T in [(512, 100, 400, 46), (256, 64, 256, 33)]:
+        window = _window(n_fft, win_length)
+        nz = np.nonzero(window)[0]
+        w_len = int(nz[-1]) + 1 - int(nz[0])
+        length = (T - 1) * hop
+        F = jnp.asarray(rng.standard_normal((2, T, w_len)), jnp.float32)
+        a = np.asarray(reproject_frames(F, n_fft, hop, win_length, length))
+        b = np.asarray(
+            reproject_frames_pallas(
+                F, n_fft, hop, win_length, length, interpret=True
+            )
+        )
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-5 * np.abs(a).max())
+        # Lane-padded input (the GL loop's calling convention).
+        w_pad = -(-w_len // 128) * 128
+        Fp = jnp.pad(F, [(0, 0), (0, 0), (0, w_pad - w_len)])
+        c = np.asarray(
+            reproject_frames_pallas(
+                Fp, n_fft, hop, win_length, length, interpret=True
+            )
+        )
+        np.testing.assert_allclose(a, c[..., :w_len], rtol=0,
+                                   atol=1e-5 * np.abs(a).max())
+        np.testing.assert_array_equal(c[..., w_len:], 0.0)
+
+
+def test_gl_data_paths_agree(rng):
+    """Full Griffin-Lim: banded vs composed data path (f32 loop)."""
+    n_fft, hop, win_length, T = 512, 128, 400, 30
+    length = (T - 1) * hop
+    mag = jnp.asarray(rng.random((2, T, n_fft // 2 + 1)) ** 2, jnp.float32)
+    outs = {}
+    for path in ("composed", "banded"):
+        old = gl.GL_DATA_PATH
+        gl.GL_DATA_PATH = path
+        try:
+            outs[path] = np.asarray(
+                gl.griffin_lim(mag, n_fft, hop, win_length, 8, length,
+                               fft_impl="dft_high")
+            )
+        finally:
+            gl.GL_DATA_PATH = old
+    a, b = outs["composed"], outs["banded"]
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-4 * np.abs(a).max())
