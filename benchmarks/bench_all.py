@@ -40,7 +40,9 @@ def _timeit(fn, trials=3):
     return float(np.median(times))
 
 
-def bench_synthesis(batch: int, max_steps: int, label: str) -> dict:
+def bench_synthesis(
+    batch: int, max_steps: int, label: str, pipeline_chunks: int = 1
+) -> dict:
     import jax
 
     from sstts.config import Config
@@ -54,6 +56,7 @@ def bench_synthesis(batch: int, max_steps: int, label: str) -> dict:
             max_decoder_steps=max_steps,
             stop_threshold=1.1,  # untrained weights: run to max_steps
             griffin_lim_iters=60,
+            pipeline_chunks=pipeline_chunks,
         )
     )
     state = jax.device_get(create_state(cfg))
@@ -92,7 +95,7 @@ def bench_config_1() -> dict:
 
 
 def bench_config_2() -> dict:
-    return bench_synthesis(32, 160, "batched_synthesis_b32")
+    return bench_synthesis(32, 160, "batched_synthesis_b32", pipeline_chunks=8)
 
 
 def bench_config_3() -> dict:
@@ -120,12 +123,14 @@ def bench_config_3() -> dict:
     step = make_train_step(cfg)
 
     holder = {"state": state}
+    chain = 10  # amortize the ~28 ms relay round-trip over chained steps
 
     def run():
-        holder["state"], metrics = step(holder["state"], batch)
+        for _ in range(chain):
+            holder["state"], metrics = step(holder["state"], batch)
         np.asarray(metrics["loss"])
 
-    wall = _timeit(run)
+    wall = _timeit(run) / chain
     frames = int(batch["samples"].shape[1] // cfg.dataset.hop_len + 1)
     return {
         "config": "teacher_forced_train_step_b32",
@@ -140,7 +145,7 @@ def bench_config_3() -> dict:
 def bench_config_4() -> dict:
     # >1000 decoder steps -> 210 * r(5) = 1050 steps... keep frames > 1000:
     # 210 scan steps emit 1050 frames (~13 s of audio) in one fixed program.
-    return bench_synthesis(4, 210, "long_form_1050_frames_b4")
+    return bench_synthesis(4, 210, "long_form_1050_frames_b4", pipeline_chunks=4)
 
 
 def bench_config_5() -> dict:
