@@ -41,17 +41,31 @@ class Synthesizer:
         params: Any,
         batch_stats: Any,
         seed: int = 0,
+        mesh: Any = None,
     ):
+        """`mesh`: optional `jax.sharding.Mesh` for data-parallel synthesis —
+        the batch shards over the "data" axis, variables replicate, and XLA
+        partitions the whole program (encoder, AR scan, Griffin-Lim are all
+        batch-parallel, so no cross-device collectives are needed).  The
+        pipelined chunk fetch is a single-host-link optimization and is
+        bypassed under a mesh."""
         self.cfg = cfg
+        self.mesh = mesh
         dtype = (
             jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
         )
         self.model = Tacotron(cfg.arch, cfg.dataset, dtype=dtype)
         # Pin the variables on device once: host-side (numpy) params would be
         # re-uploaded on EVERY call (10s of MB through the host link).
-        self.variables = jax.device_put(
-            {"params": params, "batch_stats": batch_stats}
-        )
+        variables = {"params": params, "batch_stats": batch_stats}
+        if mesh is not None:
+            from sstts.parallel.mesh import replicated_sharding
+
+            self.variables = jax.device_put(
+                variables, replicated_sharding(mesh)
+            )
+        else:
+            self.variables = jax.device_put(variables)
         self._rng = jax.random.PRNGKey(seed)
         self._program = jax.jit(
             self._synthesize_fn, static_argnames=("max_steps",)
@@ -128,12 +142,22 @@ class Synthesizer:
 
         Every chunk must have the same static shape (one compiled vocoder
         program); non-divisible requests round down rather than compiling a
-        ragged remainder chunk.
+        ragged remainder chunk.  Under a mesh the whole batch stays one
+        sharded program (chunking is a host-link optimization).
         """
+        if self.mesh is not None:
+            return 1
         n = max(1, min(self.cfg.inference.pipeline_chunks, batch))
         while batch % n:
             n -= 1
         return n
+
+    def _put_ids(self, ids: np.ndarray) -> jnp.ndarray:
+        if self.mesh is not None:
+            from sstts.parallel.mesh import batch_sharding
+
+            return jax.device_put(ids, batch_sharding(self.mesh))
+        return jnp.asarray(ids)
 
     def _dispatch(
         self,
@@ -158,7 +182,7 @@ class Synthesizer:
             ids[i, : len(e)] = e
         self._rng, rng = jax.random.split(self._rng)
         prep = self._prepare(
-            self.variables, jnp.asarray(ids), rng, max_steps=max_steps
+            self.variables, self._put_ids(ids), rng, max_steps=max_steps
         )
         n_chunks = self._chunk_count(len(texts))
         size = len(texts) // n_chunks
@@ -252,7 +276,7 @@ class Synthesizer:
             ids[i, : len(e)] = e
         self._rng, rng = jax.random.split(self._rng)
         out = self._program(
-            self.variables, jnp.asarray(ids), rng, max_steps=max_steps
+            self.variables, self._put_ids(ids), rng, max_steps=max_steps
         )
         if not full_output:
             # Only the PCM16 waveform crosses the device boundary (the

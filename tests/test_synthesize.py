@@ -163,3 +163,22 @@ def test_synthesize_stream_matches_batch(synth):
         for a, b in zip(want, got):
             assert a.shape == b.shape
             np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_mesh_data_parallel_synthesis(synth):
+    """Batch sharded over an 8-device mesh == single-device synthesis."""
+    from sstts.parallel.mesh import make_mesh
+
+    cfg, s = synth
+    mesh = make_mesh(jax.devices())
+    assert mesh.shape["data"] == 8
+    params = jax.device_get(s.variables)["params"]
+    stats = jax.device_get(s.variables)["batch_stats"]
+    sm = Synthesizer(cfg, params, stats, mesh=mesh)
+    texts = ["hello world"] * 8
+    want = s.synthesize_batch(texts)
+    got = sm.synthesize_batch(texts)
+    assert len(got) == 8
+    for a, b in zip(want, got):
+        assert a.shape == b.shape
+        np.testing.assert_allclose(a, b, atol=1e-4)
