@@ -61,6 +61,10 @@ def main() -> int:
             decoder_gru_units=64, post_bank_k=4, post_bank_channels=32,
             post_proj_channels=(64, 40), post_highway_units=32,
             post_gru_units=32, reduction_factor=2,
+            # Diagonal attention prior: locks alignment within the demo's
+            # small step budget (without it the 4-utterance overfit only
+            # aligns in some runs/environments).
+            guided_attention_weight=1.0,
         ),
         inference=dataclasses.replace(
             cfg.inference, max_decoder_steps=110, griffin_lim_iters=30,
@@ -89,7 +93,11 @@ def main() -> int:
 
     # Synthesize the training texts and compare mel features to ground truth.
     synth = Synthesizer(cfg, jax.device_get(state.params), jax.device_get(state.batch_stats))
-    gt_lin, gt_mel = wav_to_features(batch["samples"], cfg.dataset)
+    # batch["samples"] is PCM16 wire format (sstts.data.pipeline) — dequantize
+    # exactly as the train step does before computing reference features.
+    gt_lin, gt_mel = wav_to_features(
+        batch["samples"].astype(jnp.float32) * (1.0 / 32767.0), cfg.dataset
+    )
     wavs, full = synth.synthesize_batch(
         [u.text for u in utts], full_output=True
     )
