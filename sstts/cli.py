@@ -70,6 +70,20 @@ def build_parser() -> argparse.ArgumentParser:
     e.add_argument("--synthesize", type=int, default=0, metavar="N",
                    help="also synthesize N eval utterances to WAV")
 
+    pc = sub.add_parser(
+        "precompute",
+        help="build the offline corpus cache (decode+trim audio; "
+        "optionally mel/linear features) and print corpus statistics",
+    )
+    common(pc)
+    pc.add_argument("--cache-dir", default=None,
+                    help="cache directory (default: dataset.cache_dir or "
+                    "<workdir>/cache)")
+    pc.add_argument("--features", action="store_true",
+                    help="also precompute normalized mel/linear features")
+    pc.add_argument("--stats", action="store_true",
+                    help="also compute and print corpus dB statistics")
+
     s = sub.add_parser("synthesize", help="text -> WAV from a checkpoint")
     common(s)
     s.add_argument("--text", required=True, action="append",
@@ -95,6 +109,33 @@ def main(argv=None) -> int:
             cfg, args.workdir, args.num_batches, synthesize_count=args.synthesize
         )
         print({k: round(v, 5) for k, v in metrics.items()})
+        return 0
+
+    if args.command == "precompute":
+        import json as json_mod
+        from pathlib import Path
+
+        from sstts.data import features_cache
+        from sstts.train import load_corpus
+
+        cache_dir = (
+            args.cache_dir
+            or cfg.dataset.cache_dir
+            or str(Path(args.workdir) / "cache")
+        )
+        train_utts, eval_utts = load_corpus(cfg)
+        utts = train_utts + eval_utts
+        print(f"caching {len(utts)} utterances -> {cache_dir}")
+        cache = features_cache.build_audio_cache(utts, cfg, cache_dir)
+        if args.features:
+            features_cache.precompute_features(cache, utts, cfg)
+        if args.stats:
+            from sstts.data.statistics import compute_statistics
+
+            print(json_mod.dumps(compute_statistics(utts, cfg), indent=2))
+        print(
+            f"done; train with --set dataset.cache_dir={cache_dir}"
+        )
         return 0
 
     if args.command == "synthesize":

@@ -62,6 +62,9 @@ class DatasetConfig:
     max_frames: int = 1024
     #: Utterance count for the synthetic corpus (dataset="synthetic").
     synthetic_size: int = 256
+    #: Directory of the offline pre-computation cache (empty = disabled).
+    #: Built by `python -m sstts.cli precompute`; see data/features_cache.py.
+    cache_dir: str = ""
 
     @property
     def win_len(self) -> int:

@@ -131,8 +131,19 @@ class Batcher:
     time).  For determinism across runs the shuffle is seeded per epoch.
     """
 
-    def __init__(self, utts: Sequence[Utterance], cfg: Config, drop_oversize: bool = True):
+    def __init__(
+        self,
+        utts: Sequence[Utterance],
+        cfg: Config,
+        drop_oversize: bool = True,
+        audio_cache=None,
+    ):
         self.cfg = cfg
+        if audio_cache is None:
+            from sstts.data import features_cache
+
+            audio_cache = features_cache.open_cache(cfg)
+        self.audio_cache = audio_cache
         self.shapes = frame_bucket_shapes(cfg)
         self.examples: List[Tuple[Utterance, np.ndarray]] = []
         self._audio_cache: Dict[str, np.ndarray] = {}
@@ -149,7 +160,10 @@ class Batcher:
     def _audio(self, u: Utterance) -> np.ndarray:
         if self._cache_all and u.uid in self._audio_cache:
             return self._audio_cache[u.uid]
-        y = load_audio(u, self.cfg)
+        if self.audio_cache is not None and u.uid in self.audio_cache:
+            y = self.audio_cache.get(u.uid)
+        else:
+            y = load_audio(u, self.cfg)
         if self._cache_all:
             self._audio_cache[u.uid] = y
         return y

@@ -119,3 +119,77 @@ def test_batcher_frame_counts_match_stft():
         lt, fr = pipeline.frame_bucket_shapes(cfg)[bucket]
         assert spec.shape[-2] == fr
         break
+
+
+def test_features_cache_roundtrip_and_batch_identity(tmp_path):
+    """Cache-built batches must be byte-identical to WAV-built batches
+    (PCM16 quantization is idempotent), and precomputed features must match
+    the train step's on-device featurization."""
+    from sstts.data import features_cache
+
+    cfg = _tiny_training_cfg()
+    utts = synthetic.make_utterances(6, cfg.dataset, min_words=1, max_words=3)
+    cache = features_cache.build_audio_cache(
+        utts, cfg, tmp_path / "cache", progress_every=0
+    )
+    assert len(cache) == 6
+    # Audio round-trip: dequantized cache == quantize-dequantize of source.
+    y = pipeline.load_audio(utts[0], cfg)
+    q = np.round(np.clip(y, -1, 1) * 32767.0).astype(np.int16)
+    np.testing.assert_array_equal(cache.get_pcm(utts[0].uid), q)
+
+    # Batches via cache == batches via decode (bitwise).
+    import dataclasses
+
+    cfg_cached = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(cfg.dataset, cache_dir=str(tmp_path / "cache"))
+    )
+    b_plain = pipeline.Batcher(utts, cfg)
+    b_cached = pipeline.Batcher(utts, cfg_cached)
+    assert b_cached.audio_cache is not None
+    for (k1, x1), (k2, x2) in zip(
+        b_plain.epoch(seed=3, batch_size=2), b_cached.epoch(seed=3, batch_size=2)
+    ):
+        assert k1 == k2
+        for key in x1:
+            np.testing.assert_array_equal(x1[key], x2[key])
+
+    # Fingerprint guard: different hparams must refuse the cache.
+    bad = dataclasses.replace(
+        cfg, dataset=dataclasses.replace(cfg.dataset, trim_top_db=30.0)
+    )
+    with pytest.raises(ValueError):
+        features_cache.AudioCache(tmp_path / "cache", bad)
+
+
+def test_features_cache_precomputed_features(tmp_path):
+    from sstts.data import features_cache
+    from sstts.dsp.ops import wav_to_features
+
+    cfg = _tiny_training_cfg()
+    utts = synthetic.make_utterances(3, cfg.dataset, min_words=1, max_words=2)
+    cache = features_cache.build_audio_cache(
+        utts, cfg, tmp_path / "c", progress_every=0
+    )
+    features_cache.precompute_features(
+        cache, utts, cfg, batch_frames=256, progress_every=0
+    )
+    assert cache.has_features()
+    u = utts[1]
+    lin, mel = cache.get_features(u.uid, cfg)
+    assert lin.shape[1] == cfg.dataset.n_linear
+    assert mel.shape[1] == cfg.dataset.n_mels
+    # Compare against direct featurization of the same (quantized) audio.
+    y = cache.get(u.uid)
+    lin_ref, mel_ref = wav_to_features(y, cfg.dataset)
+    n = lin.shape[0]
+    assert abs(n - (1 + len(y) // cfg.dataset.hop_len)) == 0
+    # Interior frames match to float16 resolution (boundary frames see the
+    # zero-padding used for the fixed precompute segment shape).
+    interior = max(n - 8, 1)
+    np.testing.assert_allclose(
+        lin[:interior], np.asarray(lin_ref)[:interior], atol=2e-3
+    )
+    np.testing.assert_allclose(
+        mel[:interior], np.asarray(mel_ref)[:interior], atol=2e-3
+    )
