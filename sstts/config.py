@@ -100,6 +100,13 @@ class ArchitectureConfig:
     encoder_highway_layers: int = 4
     encoder_highway_units: int = 128
     encoder_gru_units: int = 128  # per direction -> memory dim 256
+    #: Run each conv bank as one wide fused conv (single MXU GEMM) instead
+    #: of K narrow convs; same parameters either way (modules.Conv1dBank).
+    #: Measured on v5e: the fused form's 2x FLOP padding waste slightly
+    #: outweighs the launch savings at Tacotron shapes (40 vs 35.5 ms
+    #: synthesis prepare; train step within noise), so the default is the
+    #: exact K-conv form.  The fused path stays available and tested.
+    fused_conv_bank: bool = False
     # Decoder.
     #: "bahdanau" (reference default) or "local_luong" (thesis variant).
     attention_type: str = "bahdanau"
@@ -155,6 +162,10 @@ class TrainingConfig:
     frame_buckets: Tuple[int, ...] = (256, 512, 768, 1024)
     #: Compute features (STFT/mel/dB) on device inside the train step.
     on_device_features: bool = True
+    #: Debug mode (SURVEY.md §5.2): enable `jax_debug_nans` so the first NaN
+    #: produced inside any jitted step raises with a traceback instead of
+    #: silently propagating.  Disables async dispatch — training only.
+    debug_nans: bool = False
     seed: int = 1234
 
 

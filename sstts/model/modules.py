@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Optional, Sequence, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sstts.model.rnn import BiGRU
@@ -112,11 +113,27 @@ class Conv1dBank(nn.Module):
     """K parallel conv1d's of widths 1..K, each BN+ReLU, concatenated.
 
     (B, T, D) -> (B, T, K * channels).
+
+    Two compute paths over ONE parameter set (per-width kernels
+    ``conv{k}``: (k, D, C)), so the flag can be flipped on an existing
+    checkpoint:
+
+    * ``fused=True`` (the [NS] fused conv-bank — SURVEY.md §2.6):
+      the K kernels are zero-padded to width K at their SAME-padding
+      alignment and concatenated into one (K, D, K*C) kernel, so the whole
+      bank runs as a single wide conv — one implicit MXU GEMM with a
+      K*D-deep contraction (2048 for the encoder bank) instead of K narrow
+      convs.  The zero taps waste ~2x FLOPs (K^2 vs K(K+1)/2 tap-pairs).
+      Measured on v5e the waste slightly outweighs the fusion win at
+      Tacotron shapes (see config.ArchitectureConfig.fused_conv_bank), so
+      this is opt-in rather than the default.
+    * ``fused=False`` (default): K separate convs; also the oracle.
     """
 
     bank_k: int
     channels: int
     dtype: jnp.dtype = jnp.float32
+    fused: bool = False
 
     @nn.compact
     def __call__(
@@ -127,16 +144,50 @@ class Conv1dBank(nn.Module):
     ) -> jnp.ndarray:
         if mask is not None:
             x = x * mask[..., None].astype(x.dtype)
+        d = x.shape[-1]
+        kernels = [
+            self.param(
+                f"conv{k}",
+                nn.initializers.lecun_normal(),
+                (k, d, self.channels),
+                jnp.float32,
+            )
+            for k in range(1, self.bank_k + 1)
+        ]
+        dn = ("NWC", "WIO", "NWC")
+        x = x.astype(self.dtype)
+        if self.fused:
+            K = self.bank_k
+            left = (K - 1) // 2
+            # Width-k kernel tap j lands at window offset left-(k-1)//2+j.
+            wide = jnp.concatenate(
+                [
+                    jnp.pad(
+                        w, ((left - (k - 1) // 2, K - k - (left - (k - 1) // 2)),
+                            (0, 0), (0, 0))
+                    )
+                    for k, w in enumerate(kernels, start=1)
+                ],
+                axis=-1,
+            )
+            y = jax.lax.conv_general_dilated(
+                x, wide.astype(self.dtype), (1,), [(left, K - 1 - left)],
+                dimension_numbers=dn,
+            )
+            ys = [
+                y[..., (k - 1) * self.channels : k * self.channels]
+                for k in range(1, self.bank_k + 1)
+            ]
+        else:
+            ys = [
+                jax.lax.conv_general_dilated(
+                    x, w.astype(self.dtype), (1,), [((k - 1) // 2, k // 2)],
+                    dimension_numbers=dn,
+                )
+                for k, w in enumerate(kernels, start=1)
+            ]
         outs = []
-        for k in range(1, self.bank_k + 1):
-            y = nn.Conv(
-                self.channels,
-                kernel_size=(k,),
-                padding="SAME",
-                use_bias=False,
-                dtype=self.dtype,
-                name=f"conv{k}",
-            )(x)
+        for k, y in enumerate(ys, start=1):
             y = MaskedBatchNorm(dtype=self.dtype, name=f"bn{k}")(y, mask, train)
             outs.append(nn.relu(y))
         out = jnp.concatenate(outs, axis=-1)
@@ -159,6 +210,7 @@ class CBHG(nn.Module):
     highway_units: int
     gru_units: int
     dtype: jnp.dtype = jnp.float32
+    fused_bank: bool = True
 
     @nn.compact
     def __call__(
@@ -168,9 +220,10 @@ class CBHG(nn.Module):
         train: bool = True,
     ) -> jnp.ndarray:
         residual = x
-        y = Conv1dBank(self.bank_k, self.bank_channels, dtype=self.dtype, name="bank")(
-            x, mask, train
-        )
+        y = Conv1dBank(
+            self.bank_k, self.bank_channels, dtype=self.dtype,
+            fused=self.fused_bank, name="bank",
+        )(x, mask, train)
         # Max-pool width 2, stride 1, SAME: max(y[t], y[t+1]).
         right = jnp.pad(y[:, 1:], ((0, 0), (0, 1), (0, 0)), constant_values=-jnp.inf)
         y = jnp.maximum(y, right)

@@ -41,7 +41,7 @@ class Tacotron(nn.Module):
         self.encoder_cbhg = CBHG(
             a.encoder_bank_k, a.encoder_bank_channels, a.encoder_proj_channels,
             a.encoder_highway_layers, a.encoder_highway_units, a.encoder_gru_units,
-            dtype=self.dtype, name="encoder_cbhg",
+            dtype=self.dtype, fused_bank=a.fused_conv_bank, name="encoder_cbhg",
         )
         self.decoder_cell = DecoderCell(a, self.data.n_mels, dtype=self.dtype)
         # The post-CBHG's second projection returns to mel space by
@@ -51,7 +51,7 @@ class Tacotron(nn.Module):
         self.post_cbhg = CBHG(
             a.post_bank_k, a.post_bank_channels, post_proj,
             a.post_highway_layers, a.post_highway_units, a.post_gru_units,
-            dtype=self.dtype, name="post_cbhg",
+            dtype=self.dtype, fused_bank=a.fused_conv_bank, name="post_cbhg",
         )
         self.linear_proj = nn.Dense(self.data.n_linear, dtype=self.dtype)
 

@@ -280,6 +280,8 @@ def train(
 ) -> TrainState:
     """Full training driver: data -> jitted step -> checkpoints/metrics."""
     workdir = Path(workdir)
+    if cfg.training.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     max_steps = max_steps or cfg.training.max_steps
     log_every = log_every or cfg.training.summary_every
     if mesh is None:

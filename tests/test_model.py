@@ -259,3 +259,33 @@ def test_guided_attention_in_train_step():
     state, metrics = step(state, jax.tree.map(jnp.asarray, batch))
     assert "loss_attn" in metrics
     assert np.isfinite(float(metrics["loss_attn"]))
+
+
+def test_fused_conv_bank_matches_unfused():
+    """Fused (one wide conv) and unfused (K narrow convs) banks share one
+    parameter tree and must produce the same output."""
+    from sstts.model.modules import Conv1dBank
+
+    rng = jax.random.PRNGKey(42)
+    x = jax.random.normal(jax.random.PRNGKey(1), (3, 21, 12))
+    mask = jnp.arange(21)[None, :] < jnp.array([21, 13, 5])[:, None]
+    for k in (1, 2, 5, 8):
+        fused = Conv1dBank(bank_k=k, channels=16, fused=True)
+        plain = Conv1dBank(bank_k=k, channels=16, fused=False)
+        variables = fused.init(rng, x, mask, train=False)
+        # Identical parameter trees (the flag flips on a checkpoint).
+        v2 = plain.init(rng, x, mask, train=False)
+        assert jax.tree.structure(variables) == jax.tree.structure(v2)
+        yf, updf = fused.apply(variables, x, mask, train=True,
+                               mutable=["batch_stats"])
+        yp, updp = plain.apply(variables, x, mask, train=True,
+                               mutable=["batch_stats"])
+        np.testing.assert_allclose(yf, yp, atol=2e-5, rtol=2e-5)
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(a, b, atol=2e-5, rtol=2e-5),
+            updf, updp,
+        )
+        # Eval mode (running stats) too.
+        yf = fused.apply(variables, x, mask, train=False)
+        yp = plain.apply(variables, x, mask, train=False)
+        np.testing.assert_allclose(yf, yp, atol=2e-5, rtol=2e-5)
