@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from sstts.config import Config
 from sstts.dsp import ops
@@ -162,50 +163,26 @@ def _griffin_lim_real(
         si = mm(frames, nsin_w)[..., :n_frames, :].astype(dtype)
         return sr, si
 
+    if GL_DATA_PATH == "banded":
+        return _loop_banded(
+            magnitude, mag_d, n_fft, hop_length, win_length, n_iters, length,
+            momentum, loop_dtype, precision,
+            (w_len, cos_w, nsin_w, inv_re_w, inv_im_w), synth,
+        )
+
     def normalize(er, ei):
         # Normalize in f32 (rsqrt under bf16 squaring underflows quiet bins).
         er32, ei32 = er.astype(jnp.float32), ei.astype(jnp.float32)
         inv = jax.lax.rsqrt(er32 * er32 + ei32 * ei32 + 1e-24)
         return (er32 * inv).astype(loop_dtype), (ei32 * inv).astype(loop_dtype)
 
-    # Loop-only lane-padded matrix copies: on the Pallas reprojection path
-    # the GEMMs emit/consume frames at the kernel's 128-aligned lane width,
-    # so no pad/slice copies remain between GEMM and kernel.  The final
-    # synthesis pass below keeps the exact-width matrices.
-    if jax.default_backend() == "tpu":
-        w_pad = -(-w_len // 128) * 128
-        cpad = [(0, w_pad - w_len), (0, 0)]
-        inv_re_l = jnp.pad(inv_re_w, cpad[::-1])
-        inv_im_l = jnp.pad(inv_im_w, cpad[::-1])
-        cos_l = jnp.pad(cos_w, cpad)
-        nsin_l = jnp.pad(nsin_w, cpad)
-    else:
-        inv_re_l, inv_im_l, cos_l, nsin_l = inv_re_w, inv_im_w, cos_w, nsin_w
-
-    def project(sr_in, si_in):
-        """Scaled spectra -> reprojected spectra (one GL phase projection)."""
-        if GL_DATA_PATH == "banded":
-            mm = lambda a, b: jnp.matmul(  # noqa: E731
-                a, b.astype(a.dtype), precision=precision,
-                preferred_element_type=jnp.float32,
-            )
-            frames = mm(sr_in, inv_re_l) + mm(si_in, inv_im_l)  # f32
-            frames = reproject(
-                frames.astype(loop_dtype), n_fft, hop_length, win_length,
-                length,
-            )
-            sr = mm(frames, cos_l)[..., :n_frames, :].astype(loop_dtype)
-            si = mm(frames, nsin_l)[..., :n_frames, :].astype(loop_dtype)
-            return sr, si
-        y = synth(sr_in, si_in, precision, loop_dtype)
-        return analyze(y, precision, loop_dtype)
-
     def body(_, carry):
         if momentum > 0.0:
             ar, ai, pr, pi = carry
         else:
             ar, ai = carry
-        sr, si = project(mag_d * ar, mag_d * ai)
+        y = synth(mag_d * ar, mag_d * ai, precision, loop_dtype)
+        sr, si = analyze(y, precision, loop_dtype)
         if momentum > 0.0:
             m = loop_dtype(momentum)
             ar, ai = normalize(sr + m * (sr - pr), si + m * (si - pi))
@@ -221,6 +198,111 @@ def _griffin_lim_real(
     return synth(
         magnitude * ar.astype(jnp.float32),
         magnitude * ai.astype(jnp.float32),
+        jax.lax.Precision.HIGH, jnp.float32,
+    )
+
+
+def _loop_banded(
+    magnitude, mag_d, n_fft, hop_length, win_length, n_iters, length,
+    momentum, loop_dtype, precision, mats, synth,
+):
+    """GL loop over the fused banded data path, minimum-HBM-traffic layout.
+
+    The iteration state is the *magnitude-scaled* spectrum — not the bare
+    phase — stored flat as (..., n_frames, 2*Hp) with the real half in lanes
+    [0, Hp) and the imaginary half in [Hp, 2*Hp), Hp = bins rounded up to
+    the 128-lane width.  Consequences, all HBM-bandwidth wins (the loop's
+    GEMMs are MXU-bound but everything else here is traffic-bound):
+
+    * each direction of the DFT is ONE dot (contraction/output dim 2*Hp)
+      instead of two dots + add/concat — no f32 partial-product arrays;
+      the lane padding costs nothing because XLA pads 1025-wide GEMM
+      operands to 1152 lanes internally anyway;
+    * the per-iteration `magnitude * angle` multiply folds into the phase
+      normalization: one fused pass computes
+      ``q' = s * (mag * rsqrt(re^2 + im^2))`` where the old layout needed
+      separate normalize and rescale passes over the full spectrum;
+    * the two GEMMs emit/consume frames at the Pallas reprojection
+      kernel's lane width, so no pad/slice copies remain around it.
+    """
+    from sstts.dsp.reproject import reproject
+
+    w_len, cos_w, nsin_w, inv_re_w, inv_im_w = mats
+    half = magnitude.shape[-1]
+    if jax.default_backend() == "tpu":
+        hp = -(-half // 128) * 128
+        wp = -(-w_len // 128) * 128
+    else:
+        hp, wp = half, w_len
+    # (2*Hp, Wp): [padded inv_re ; padded inv_im] and (Wp, 2*Hp) analysis.
+    w_inv = jnp.concatenate(
+        [
+            jnp.pad(inv_re_w, [(0, hp - half), (0, wp - w_len)]),
+            jnp.pad(inv_im_w, [(0, hp - half), (0, wp - w_len)]),
+        ],
+        axis=0,
+    )
+    w_fwd = jnp.concatenate(
+        [
+            jnp.pad(cos_w, [(0, wp - w_len), (0, hp - half)]),
+            jnp.pad(nsin_w, [(0, wp - w_len), (0, hp - half)]),
+        ],
+        axis=1,
+    )
+    # Stored at loop precision: read every iteration by the renorm pass.
+    mag_p = jnp.pad(mag_d, [(0, 0)] * (mag_d.ndim - 1) + [(0, hp - half)])
+
+    mm = lambda a, b: jnp.matmul(  # noqa: E731
+        a, b.astype(a.dtype), precision=precision,
+        preferred_element_type=jnp.float32,
+    )
+
+    def iterate(q):
+        frames = mm(q, w_inv).astype(loop_dtype)
+        frames = reproject(frames, n_fft, hop_length, win_length, length)
+        # Cast in the GEMM epilogue: the renorm pass then reads the spectrum
+        # at loop precision (half the HBM traffic of an f32 dot output).
+        return mm(frames, w_fwd).astype(loop_dtype)
+
+    def renorm(s):
+        """One fused pass: phase-normalize AND rescale by the magnitude."""
+        sr = s[..., :hp].astype(jnp.float32)
+        si = s[..., hp:].astype(jnp.float32)
+        inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24) * mag_p.astype(
+            jnp.float32
+        )
+        return jnp.concatenate(
+            [(sr * inv).astype(loop_dtype), (si * inv).astype(loop_dtype)],
+            axis=-1,
+        )
+
+    q0 = jnp.concatenate(
+        [mag_p.astype(loop_dtype), jnp.zeros_like(mag_p, dtype=loop_dtype)],
+        axis=-1,
+    )
+    if momentum > 0.0:
+        m = np.float32(momentum)
+
+        def body(_, carry):
+            q, prev = carry
+            s = iterate(q)
+            prev32 = prev.astype(jnp.float32)
+            extrap = s + m * (s - prev32)
+            return renorm(extrap), s.astype(loop_dtype)
+
+        q, _ = jax.lax.fori_loop(
+            0, n_iters, body, (q0, jnp.zeros_like(q0))
+        )
+    else:
+        q = jax.lax.fori_loop(0, n_iters, lambda _, q: renorm(iterate(q)), q0)
+
+    # Final synthesis in f32 at HIGH precision for output quality: recover
+    # the unit phase from the scaled spectrum, apply the exact f32 magnitude.
+    sr = q[..., :half].astype(jnp.float32)
+    si = q[..., hp : hp + half].astype(jnp.float32)
+    inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24)
+    return synth(
+        magnitude * (sr * inv), magnitude * (si * inv),
         jax.lax.Precision.HIGH, jnp.float32,
     )
 

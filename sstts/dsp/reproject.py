@@ -239,43 +239,64 @@ def reproject_frames_pallas(
             frames[None], n_fft, hop, win_length, length, interpret
         )[0]
     b_total = int(np.prod(batch))
-    # Lane dimension padded to a 128 multiple: required for the manual HBM
-    # DMA, and makes every in-kernel shape tiling-aligned.  The rotate's
-    # wrapped lanes (including the [w_len, w_pad) padding garbage) always
-    # land inside masked regions: for shift d the garbage occupies out lanes
-    # >= w_len - d*hop while the valid mask ends exactly there (d > 0), or
-    # < |d|*hop while the mask starts exactly there (d < 0).
+    # Lane dimension padded to a 128 multiple so every in-kernel shape is
+    # tiling-aligned.  The rotate's wrapped lanes (including the
+    # [w_len, w_pad) padding garbage) always land inside masked regions:
+    # for shift d the garbage occupies out lanes >= w_len - d*hop while the
+    # valid mask ends exactly there (d > 0), or < |d|*hop while the mask
+    # starts exactly there (d < 0).
     w_pad = -(-w_len // 128) * 128
     f3 = frames.reshape(b_total, n_frames, frames.shape[-1])
     col_pad = w_pad - frames.shape[-1]
-    fpad = jnp.pad(
-        f3, [(0, 0), (d_max, d_max + t_round - n_frames), (0, col_pad)]
-    )
+    row_pad = t_round - n_frames
+    if col_pad or row_pad:
+        f3 = jnp.pad(f3, [(0, 0), (0, row_pad), (0, col_pad)])
+    n_t = t_round // bt
+    # Halo rows (d_max above + d_max below each block) travel as a second,
+    # tiny pipelined input, so the main frames array streams through the
+    # Pallas grid pipeline block-aligned with automatic double buffering —
+    # an earlier version DMA'd an overlapping (block + halo) slab manually
+    # from ANY-space HBM, which serialized the transfer against compute and
+    # cost ~35% of the kernel's runtime at the headline shapes.
+    # Built with O(1) XLA ops (this runs once per Griffin-Lim iteration, and
+    # at small sub-batches op dispatch count matters): view frames as blocks,
+    # then each block's halo is the tail/head rows of its neighbors.
+    f3r = f3.reshape(b_total, n_t, bt, w_pad)
+    zrow = jnp.zeros((b_total, 1, d_max, w_pad), f3.dtype)
+    tops = jnp.concatenate([zrow, f3r[:, :-1, bt - d_max :]], axis=1)
+    bots = jnp.concatenate([f3r[:, 1:, :d_max], zrow], axis=1)
+    halo = jnp.concatenate([tops, bots], axis=2)  # (b, n_t, 2*d_max, w_pad)
     wss2d = jnp.pad(
         jnp.asarray(plan["wss2d"]),
         [(0, t_round - n_frames), (0, w_pad - w_len)],
     )
     dtype = frames.dtype
 
-    def kernel(fpad_hbm, wss_ref, out_ref, fblk, sem):
-        bi = pl.program_id(0)
-        ti = pl.program_id(1)
-        cp = pltpu.make_async_copy(
-            fpad_hbm.at[bi, pl.ds(ti * bt, bt + 2 * d_max), :], fblk, sem
+    # Center rows sit at sublane-aligned offset 8 in the f32 scratch slab;
+    # the halos occupy the fringes ([8-d_max, 8) and [8+bt, 8+bt+d_max)).
+    off = max(8, -(-d_max // 8) * 8)
+
+    def kernel(cblk, hblk, wss_ref, out_ref, f32blk):
+        # Assemble the haloed slab in f32 (the lane rotate needs 32-bit).
+        f32blk[off - d_max : off] = hblk[0, 0, :d_max].astype(jnp.float32)
+        f32blk[off : off + bt] = cblk[0].astype(jnp.float32)
+        f32blk[off + bt : off + bt + d_max] = hblk[0, 0, d_max:].astype(
+            jnp.float32
         )
-        cp.start()
-        cp.wait()
-        f = fblk[:]
+        f = f32blk[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (bt, w_pad), 1)
-        acc = jnp.zeros((bt, w_pad), jnp.float32)
+        # d = 0 term needs no rotate and no mask: its out-of-support lanes
+        # only ever see the input's [w_len, w_pad) padding, and the final
+        # wss scale is zero beyond the window support anyway.
+        acc = f[off : off + bt, :]
         for d in range(-d_max, d_max + 1):
+            if d == 0:
+                continue
             # term[t, j] = rows[t, j + d*hop]; the lane rotate wraps, but
             # every wrapped position is exactly a masked (out-of-support)
             # position, so wrap semantics never leak into the result.
-            # (Rotate requires 32-bit data on TPU — cast before rolling.)
-            rows = f[d_max - d : d_max - d + bt, :].astype(jnp.float32)
-            if d != 0:
-                rows = pltpu.roll(rows, shift=(-d * hop) % w_pad, axis=1)
+            rows = f[off - d : off - d + bt, :]
+            rows = pltpu.roll(rows, shift=(-d * hop) % w_pad, axis=1)
             valid = (lane >= -d * hop) & (lane < w_len - d * hop)
             acc = acc + jnp.where(valid, rows, 0.0)
         out_ref[0] = (acc * wss_ref[:]).astype(out_ref.dtype)
@@ -283,9 +304,16 @@ def reproject_frames_pallas(
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((b_total, t_round, w_pad), dtype),
-        grid=(b_total, t_round // bt),
+        grid=(b_total, n_t),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(
+                (1, bt, w_pad), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 2 * d_max, w_pad), lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(
                 (bt, w_pad), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
             ),
@@ -294,11 +322,10 @@ def reproject_frames_pallas(
             (1, bt, w_pad), lambda bi, ti: (bi, ti, 0), memory_space=pltpu.VMEM
         ),
         scratch_shapes=[
-            pltpu.VMEM((bt + 2 * d_max, w_pad), dtype),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.VMEM((off + bt + d_max, w_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(fpad, wss2d)
+    )(f3, halo, wss2d)
     if t_round > n_frames:
         out = out[:, :n_frames]
     out = _mirror_runs_windowed(out, plan["runs"], n_frames)
