@@ -229,28 +229,64 @@ def _loop_banded(
 
     w_len, cos_w, nsin_w, inv_re_w, inv_im_w = mats
     half = magnitude.shape[-1]
+    # Nyquist packing (bf16 production path only): for even n_fft the DC and
+    # Nyquist bins are purely real, so Nyquist's real coefficient rides in
+    # DC's always-zero imaginary slot — the classic rFFT packing.  The loop
+    # then runs on exactly half-1 complex slots (1024 for n_fft=2048), so
+    # the flat GEMM contraction/output dim is 2048 instead of a 1025-wide
+    # spectrum padded to 1152 lanes: 11% of the loop's MXU work was padding.
+    # The one approximation: the fused phase projection normalizes the
+    # (DC, Nyquist) pair by their JOINT magnitude for the loop's iterations
+    # (2 of 1025 bins, both carrying negligible energy for pre-emphasized
+    # speech); the final synthesis below unpacks and projects both exactly.
+    packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
+    hb = half - 1 if packed else half
     if jax.default_backend() == "tpu":
-        hp = -(-half // 128) * 128
+        hp = -(-hb // 128) * 128
         wp = -(-w_len // 128) * 128
     else:
-        hp, wp = half, w_len
-    # (2*Hp, Wp): [padded inv_re ; padded inv_im] and (Wp, 2*Hp) analysis.
-    w_inv = jnp.concatenate(
-        [
-            jnp.pad(inv_re_w, [(0, hp - half), (0, wp - w_len)]),
-            jnp.pad(inv_im_w, [(0, hp - half), (0, wp - w_len)]),
-        ],
-        axis=0,
-    )
-    w_fwd = jnp.concatenate(
-        [
-            jnp.pad(cos_w, [(0, wp - w_len), (0, hp - half)]),
-            jnp.pad(nsin_w, [(0, wp - w_len), (0, hp - half)]),
-        ],
-        axis=1,
-    )
-    # Stored at loop precision: read every iteration by the renorm pass.
-    mag_p = jnp.pad(mag_d, [(0, 0)] * (mag_d.ndim - 1) + [(0, hp - half)])
+        hp, wp = hb, w_len
+
+    def rowpad(m):  # (rows <= hp, w_len) -> (hp, wp)
+        return jnp.pad(m, [(0, hp - m.shape[0]), (0, wp - w_len)])
+
+    def colpad(m):  # (w_len, cols <= hp) -> (wp, hp)
+        return jnp.pad(m, [(0, wp - w_len), (0, hp - m.shape[1])])
+
+    if packed:
+        # Real-half slots: bins [0, hb); imag-half slots: lane 0 = Nyquist
+        # (real), lanes [1, hb) = imaginary parts of bins [1, hb).
+        w_inv = jnp.concatenate(
+            [
+                rowpad(inv_re_w[:hb]),
+                rowpad(
+                    jnp.concatenate([inv_re_w[hb:], inv_im_w[1:hb]], axis=0)
+                ),
+            ],
+            axis=0,
+        )
+        w_fwd = jnp.concatenate(
+            [
+                colpad(cos_w[:, :hb]),
+                colpad(
+                    jnp.concatenate([cos_w[:, hb:], nsin_w[:, 1:hb]], axis=1)
+                ),
+            ],
+            axis=1,
+        )
+        lane_pad = [(0, 0)] * (mag_d.ndim - 1) + [(0, hp - hb)]
+        mag_r = jnp.pad(mag_d[..., :hb], lane_pad)
+        mag_i = jnp.pad(
+            jnp.concatenate([mag_d[..., hb:], mag_d[..., 1:hb]], axis=-1),
+            lane_pad,
+        )
+    else:
+        # (2*Hp, Wp): [padded inv_re ; padded inv_im], (Wp, 2*Hp) analysis.
+        w_inv = jnp.concatenate([rowpad(inv_re_w), rowpad(inv_im_w)], axis=0)
+        w_fwd = jnp.concatenate([colpad(cos_w), colpad(nsin_w)], axis=1)
+        lane_pad = [(0, 0)] * (mag_d.ndim - 1) + [(0, hp - hb)]
+        mag_r = jnp.pad(mag_d, lane_pad)
+        mag_i = mag_r
 
     mm = lambda a, b: jnp.matmul(  # noqa: E731
         a, b.astype(a.dtype), precision=precision,
@@ -268,17 +304,26 @@ def _loop_banded(
         """One fused pass: phase-normalize AND rescale by the magnitude."""
         sr = s[..., :hp].astype(jnp.float32)
         si = s[..., hp:].astype(jnp.float32)
-        inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24) * mag_p.astype(
-            jnp.float32
-        )
+        inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24)
         return jnp.concatenate(
-            [(sr * inv).astype(loop_dtype), (si * inv).astype(loop_dtype)],
+            [
+                (sr * inv * mag_r.astype(jnp.float32)).astype(loop_dtype),
+                (si * inv * mag_i.astype(jnp.float32)).astype(loop_dtype),
+            ],
             axis=-1,
         )
 
+    # Zero-phase init: q = mag * (1 + 0j) per bin; in the packed layout the
+    # Nyquist slot (imag-half lane 0) starts at its magnitude, sign +1.
+    qi0 = (
+        jnp.pad(
+            mag_i[..., :1], [(0, 0)] * (mag_i.ndim - 1) + [(0, hp - 1)]
+        )
+        if packed
+        else jnp.zeros_like(mag_r)
+    )
     q0 = jnp.concatenate(
-        [mag_p.astype(loop_dtype), jnp.zeros_like(mag_p, dtype=loop_dtype)],
-        axis=-1,
+        [mag_r.astype(loop_dtype), qi0.astype(loop_dtype)], axis=-1
     )
     if momentum > 0.0:
         m = np.float32(momentum)
@@ -298,8 +343,17 @@ def _loop_banded(
 
     # Final synthesis in f32 at HIGH precision for output quality: recover
     # the unit phase from the scaled spectrum, apply the exact f32 magnitude.
-    sr = q[..., :half].astype(jnp.float32)
-    si = q[..., hp : hp + half].astype(jnp.float32)
+    # In the packed layout this unpacks DC/Nyquist and projects each exactly
+    # (their imaginary parts are identically zero).
+    if packed:
+        qr = q[..., :hp].astype(jnp.float32)
+        qi = q[..., hp:].astype(jnp.float32)
+        zero1 = jnp.zeros_like(qr[..., :1])
+        sr = jnp.concatenate([qr[..., :hb], qi[..., :1]], axis=-1)
+        si = jnp.concatenate([zero1, qi[..., 1:hb], zero1], axis=-1)
+    else:
+        sr = q[..., :half].astype(jnp.float32)
+        si = q[..., hp : hp + half].astype(jnp.float32)
     inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24)
     return synth(
         magnitude * (sr * inv), magnitude * (si * inv),

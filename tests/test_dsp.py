@@ -350,3 +350,27 @@ def test_gl_data_paths_agree(rng):
             gl.GL_DATA_PATH = old
     a, b = outs["composed"], outs["banded"]
     np.testing.assert_allclose(a, b, rtol=0, atol=5e-4 * np.abs(a).max())
+
+
+def test_gl_packed_bf16_path_reconstructs(rng):
+    """The production GL path (bf16 loop, Nyquist packed into DC's imaginary
+    slot) reconstructs a harmonic signal as well as the exact f32 path."""
+    cfg = CFG
+    n = 4000
+    y = _signal(n, cfg.sample_rate, rng)
+    mag = np.abs(ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)).astype(np.float32)
+
+    def spectral_err(wav):
+        got = np.abs(ref.stft(wav.astype(np.float64), cfg.n_fft, cfg.hop_len, cfg.win_len))
+        return np.abs(got - mag).mean() / mag.mean()
+
+    exact = np.asarray(gl.griffin_lim(
+        jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 8, n,
+        fft_impl="dft_high"))
+    packed = np.asarray(gl.griffin_lim(
+        jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 8, n,
+        fft_impl="dft_default"))
+    assert np.isfinite(packed).all()
+    e_exact, e_packed = spectral_err(exact), spectral_err(packed)
+    # bf16 phase noise historically *helps* slightly; allow 15% slack.
+    assert e_packed <= e_exact * 1.15, (e_packed, e_exact)
