@@ -44,25 +44,59 @@ def main() -> None:
         )
     )
     batch = 32
-    state = jax.device_get(create_state(cfg))
-    synth = Synthesizer(cfg, state.params, state.batch_stats)
-
     texts = [
         "the quick brown fox jumps over the lazy dog " * 2,
     ] * batch
 
-    # Warm-up compiles the programs.
-    wavs = synth.synthesize_batch(texts)
-    # Steady-state streaming throughput (the serving configuration): up to
-    # `depth` batches in flight, so each batch's PCM16 fetch drains over the
-    # host link while the next batch computes.  Per-call latency of a single
-    # synthesize_batch is reported in BASELINE.md alongside.
+    # The relay's host link varies by an order of magnitude between session
+    # windows (CLAUDE.md); the optimal fetch pipelining (chunk count, fetch
+    # threads, stream depth) moves with it.  Auto-tune like a real serving
+    # deployment would: probe each candidate with a short stream, keep the
+    # best, then take the full measurement with it.  Params stay device-
+    # resident and are shared by every candidate (device_put of an on-device
+    # array is free); probing is bounded by a wall-clock budget so a badly
+    # degraded link still yields a measurement with the default config.
     n_batches = 8
+    # (chunks, threads) candidates; each distinct chunk size costs one extra
+    # vocoder compile, so later candidates are only tried inside the budget.
+    # Stream depth is a host-side knob (no compile) and is probed for every
+    # candidate.
+    candidates = [(8, 4), (4, 4)]
+    depths = (2, 3)
+    probe_budget_s = 150.0
+    state = create_state(cfg)
+    t_start = time.perf_counter()
+    best = None
+    for chunks, threads in candidates:
+        c = cfg.replace(
+            inference=dataclasses.replace(
+                cfg.inference, pipeline_chunks=chunks, fetch_threads=threads
+            )
+        )
+        synth = Synthesizer(c, state.params, state.batch_stats)
+        synth.synthesize_batch(texts)  # compile + warm
+        for depth in depths:
+            t0 = time.perf_counter()
+            n_out = sum(
+                len(out)
+                for out in synth.synthesize_stream([texts] * 2, depth=depth)
+            )
+            probe = (time.perf_counter() - t0) / 2
+            assert n_out == 2 * batch
+            if best is None or probe < best[0]:
+                best = (probe, synth, depth, chunks, threads)
+        if time.perf_counter() - t_start > probe_budget_s:
+            break
+
+    probe_s, synth, depth, chunks, threads = best
+    # Shrink the full measurement when the link is so degraded that three
+    # 8-batch passes would blow the driver's time budget.
+    repeats = 3 if probe_s * n_batches * 3 < 180.0 else 1
     times = []
-    for _ in range(3):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         n_out = 0
-        for out in synth.synthesize_stream([texts] * n_batches):
+        for out in synth.synthesize_stream([texts] * n_batches, depth=depth):
             n_out += len(out)
         times.append(time.perf_counter() - t0)
         assert n_out == n_batches * batch
