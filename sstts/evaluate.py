@@ -40,7 +40,13 @@ def evaluate_state(
         n += 1
         if num_batches is not None and n >= num_batches:
             break
-    return {k: v / max(n, 1) for k, v in agg.items()}
+    if n == 0:
+        raise ValueError(
+            "eval split produced no batches: every utterance exceeded the "
+            "configured text/frame buckets (check training.text_buckets / "
+            "frame_buckets against the corpus)"
+        )
+    return {k: v / n for k, v in agg.items()}
 
 
 def resynthesis_metrics(
