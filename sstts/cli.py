@@ -86,8 +86,10 @@ def build_parser() -> argparse.ArgumentParser:
 
     s = sub.add_parser("synthesize", help="text -> WAV from a checkpoint")
     common(s)
-    s.add_argument("--text", required=True, action="append",
+    s.add_argument("--text", action="append", default=[],
                    help="text to synthesize (repeatable for a batch)")
+    s.add_argument("--text-file", default=None,
+                   help="file with one sentence per line (batch synthesis)")
     s.add_argument("--out", default=None, help="output WAV path (single text)")
     return p
 
@@ -145,6 +147,14 @@ def main(argv=None) -> int:
         from sstts.synthesize import Synthesizer
         from sstts.train import create_state
 
+        texts = list(args.text)
+        if args.text_file:
+            with open(args.text_file) as fh:
+                texts += [line.strip() for line in fh if line.strip()]
+        if not texts:
+            print("nothing to synthesize: pass --text and/or --text-file",
+                  file=sys.stderr)
+            return 1
         ckpt = CheckpointManager(cfg, args.workdir)
         step, state = ckpt.restore_latest(jax.device_get(create_state(cfg)))
         if step is None:
@@ -153,15 +163,20 @@ def main(argv=None) -> int:
         synth = Synthesizer(cfg, state.params, state.batch_stats)
         from pathlib import Path
 
+        from sstts.data.wav import save_wav
+
         outdir = Path(args.workdir) / cfg.inference.output_dir
-        for i, text in enumerate(args.text):
-            out = (
-                Path(args.out)
-                if args.out and len(args.text) == 1
-                else outdir / f"synthesis_{i}.wav"
-            )
-            path = synth.to_file(text, out)
-            print(f"wrote {path}")
+        if len(texts) == 1:
+            out = Path(args.out) if args.out else outdir / "synthesis_0.wav"
+            print(f"wrote {synth.to_file(texts[0], out)}")
+        else:
+            # One padded batch: a single compiled program per shape bucket
+            # instead of a per-sentence dispatch.
+            outdir.mkdir(parents=True, exist_ok=True)
+            for i, wav in enumerate(synth.synthesize_batch(texts)):
+                path = outdir / f"synthesis_{i}.wav"
+                save_wav(path, wav, cfg.dataset.sample_rate)
+                print(f"wrote {path}")
         ckpt.close()
         return 0
 
