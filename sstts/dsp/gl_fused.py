@@ -1,0 +1,295 @@
+"""Fully fused Griffin-Lim iteration as one Pallas TPU kernel.
+
+`sstts.dsp.griffin_lim._loop_banded` composes each iteration from four XLA
+ops: iSTFT GEMM -> banded reprojection (Pallas) -> STFT GEMM -> fused
+phase-renorm/rescale.  That already minimizes work, but the *spectrum* and
+*frames* arrays still make a full HBM round-trip between every stage:
+
+    read q -> write frames -> read frames -> write frames' ->
+    read frames' -> write s -> read s + mag -> write q'
+
+This module collapses the whole iteration into ONE kernel.  Each grid step
+(one batch row x one block of `bt` frames):
+
+1. GEMM1: the block's spectrum rows (plus a 2*d_max-row halo, shipped as a
+   second tiny input) x the inverse-DFT matrix -> windowed synthesis frames,
+   f32, assembled in a VMEM scratch slab (MXU).
+2. Banded shift-add in VMEM (lane rotates + masks, identical math to
+   `reproject.reproject_frames_pallas`), scaled by the window-sum envelope.
+3. GEMM2: reprojected frames x the forward-DFT matrix -> next spectrum, f32
+   accumulation (MXU).
+4. Fused renorm: q' = s * rsqrt(re^2 + im^2) * mag, cast to the loop dtype.
+
+HBM traffic per iteration drops from ~8 full-array passes to:
+read q + halo + mag, write q' + frames (the frames output exists only so the
+XLA post-pass can exactly repair the handful of edge rows whose reflect-pad
+mirrors are impractical lane-reversals in-kernel; see `_patch_edges`).
+
+Layout contract (matching `_loop_banded`'s packed bf16 path): the spectrum
+rides flat as (..., n_frames, 2*hp) with the real half in lanes [0, hp) and
+the imaginary half in [hp, 2*hp); for even n_fft the Nyquist coefficient is
+packed into DC's imaginary slot.  `w_inv` is (2*hp, wp), `w_fwd` (wp, 2*hp),
+both zero-padded beyond the true window support / spectrum bins, so padding
+lanes contribute exact zeros through both GEMMs.
+
+SURVEY.md §2.6 (TPU-native Griffin-Lim), §7 "Pallas optimization pass".
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from sstts.dsp.reproject import _band_plan, _apply_mirror_runs
+
+
+def _pick_block(n_frames: int, bt_max: int = 64) -> int:
+    """Multiple-of-8 frame-block size <= bt_max minimizing row padding.
+
+    bt=64 keeps the kernel's VMEM residency (two ~4.5 MB DFT matrices +
+    block buffers + f32 scratch) comfortably under the ~16 MB/core budget;
+    128 fits only marginally and measured no faster (GEMM k and n dims are
+    large, so MXU utilization is set by k*n tiling, not m).
+    """
+    if n_frames <= bt_max:
+        return -(-n_frames // 8) * 8
+    best = None
+    for bt in range(bt_max, 15, -8):
+        pad = -(-n_frames // bt) * bt - n_frames
+        if best is None or (pad, -bt) < best[0]:
+            best = ((pad, -bt), bt)
+    return best[1]
+
+
+def _renorm_rows(s32: jnp.ndarray, mag_rows: jnp.ndarray, hp: int, dtype):
+    """q' rows = s * rsqrt(|s|^2) * mag (joint DC/Nyquist pair in packed
+    layouts, same contract as `_loop_banded`'s renorm)."""
+    sr = s32[..., :hp]
+    si = s32[..., hp:]
+    inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24)
+    return (
+        s32 * jnp.concatenate([inv, inv], axis=-1) * mag_rows.astype(jnp.float32)
+    ).astype(dtype)
+
+
+def _patch_edges(
+    qn: jnp.ndarray,
+    frames: jnp.ndarray,
+    mag2: jnp.ndarray,
+    w_fwd: jnp.ndarray,
+    runs,
+    n_frames: int,
+    hp: int,
+    precision,
+) -> jnp.ndarray:
+    """Exactly recompute the few rows whose reprojected frames receive
+    reflect-pad mirror values (wss-masked to zero inside the kernel).
+
+    `runs` is static host data; targets and sources cluster at the first and
+    last few frames, so each side is one thin slab: apply the mirror runs on
+    the slab, redo GEMM2 + renorm for those rows, and reassemble with a
+    single concatenate per side.
+    """
+    if not runs:
+        return qn
+    # Each side's slab must contain every run's target AND source rows
+    # (sources can sit a few rows past the targets).
+    half_t = n_frames // 2
+    head_end = max(
+        [max(r[0], r[3]) for r in runs if r[0] < half_t], default=-1
+    ) + 1
+    tail_start = min(
+        [min(r[0], r[3]) for r in runs if r[0] >= half_t], default=n_frames
+    )
+    dtype = qn.dtype
+
+    def fix(slab, mag_rows, local_runs):
+        slab = _apply_mirror_runs(slab.astype(jnp.float32), local_runs)
+        s32 = jnp.matmul(
+            slab.astype(dtype), w_fwd.astype(dtype), precision=precision,
+            preferred_element_type=jnp.float32,
+        )
+        return _renorm_rows(s32, mag_rows, hp, dtype)
+
+    if head_end > tail_start:  # tiny frame counts: slabs overlap, fix all
+        return fix(frames, mag2, runs)
+
+    parts = []
+    if head_end > 0:
+        local = [r for r in runs if r[0] < head_end]
+        parts.append(
+            fix(frames[:, :head_end], mag2[:, :head_end], local)
+        )
+    parts.append(qn[:, head_end:tail_start])
+    if tail_start < n_frames:
+        local = [
+            (r[0] - tail_start, r[1], r[2], r[3] - tail_start, r[4], r[5])
+            for r in runs
+            if r[0] >= tail_start
+        ]
+        parts.append(
+            fix(frames[:, tail_start:], mag2[:, tail_start:], local)
+        )
+    return jnp.concatenate(parts, axis=1)
+
+
+def fused_gl_iteration(
+    q: jnp.ndarray,
+    mag2: jnp.ndarray,
+    w_inv: jnp.ndarray,
+    w_fwd: jnp.ndarray,
+    n_fft: int,
+    hop: int,
+    win_length: int,
+    length: int,
+    precision=jax.lax.Precision.DEFAULT,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One Griffin-Lim iteration q -> q' as a single fused Pallas program.
+
+    q, mag2: (..., n_frames, 2*hp) loop-dtype arrays (flat re/im layout);
+    w_inv: (2*hp, wp); w_fwd: (wp, 2*hp).  Numerically equivalent to
+    `renorm(mm(reproject(mm(q, w_inv)), w_fwd))` from `_loop_banded`
+    (tested in tests/test_dsp.py); edge rows are repaired exactly by
+    `_patch_edges`.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    *batch, n_frames, L = q.shape
+    hp = L // 2
+    wp = w_inv.shape[1]
+    plan = _band_plan(n_fft, hop, win_length, n_frames, length)
+    w_len, d_max = plan["w_len"], plan["d_max"]
+    assert wp == -(-w_len // 128) * 128 or interpret, (wp, w_len)
+    assert w_fwd.shape == (wp, L), (w_fwd.shape, wp, L)
+    bt = _pick_block(n_frames)
+    t_round = -(-n_frames // bt) * bt
+    n_t = t_round // bt
+    if not batch:
+        return fused_gl_iteration(
+            q[None], mag2[None], w_inv, w_fwd, n_fft, hop, win_length,
+            length, precision, interpret,
+        )[0]
+    b_total = int(np.prod(batch))
+    dtype = q.dtype
+
+    q3 = q.reshape(b_total, n_frames, L)
+    mag3 = jnp.broadcast_to(
+        mag2.reshape(-1, n_frames, L), (b_total, n_frames, L)
+    )
+    row_pad = t_round - n_frames
+    if row_pad:
+        q3 = jnp.pad(q3, [(0, 0), (0, row_pad), (0, 0)])
+        mag3 = jnp.pad(mag3, [(0, 0), (0, row_pad), (0, 0)])
+    # Halo rows (d_max spectrum rows above + below each block) as a second,
+    # tiny pipelined input — same scheme as reproject_frames_pallas.
+    q4 = q3.reshape(b_total, n_t, bt, L)
+    zrow = jnp.zeros((b_total, 1, d_max, L), dtype)
+    tops = jnp.concatenate([zrow, q4[:, :-1, bt - d_max :]], axis=1)
+    bots = jnp.concatenate([q4[:, 1:, :d_max], zrow], axis=1)
+    halo = jnp.concatenate([tops, bots], axis=2)  # (b, n_t, 2*d_max, L)
+    wss2d = jnp.pad(
+        jnp.asarray(plan["wss2d"]),
+        [(0, t_round - n_frames), (0, wp - w_len)],
+    )
+    w_inv = w_inv.astype(dtype)
+    w_fwd = w_fwd.astype(dtype)
+
+    off = max(8, -(-d_max // 8) * 8)
+    R = off + bt + d_max  # f32 frames slab rows; [0, off-d_max) never read
+
+    def kernel(cblk, hblk, winv_ref, wfwd_ref, wss_ref, mblk,
+               qout_ref, fout_ref, fscr):
+        # GEMM1 (MXU): block rows and halo rows -> f32 synthesis frames,
+        # assembled into the scratch slab at center offset `off`.
+        f_main = jnp.dot(
+            cblk[0], winv_ref[:], preferred_element_type=jnp.float32
+        )
+        f_halo = jnp.dot(
+            hblk[0, 0], winv_ref[:], preferred_element_type=jnp.float32
+        )
+        fscr[off - d_max : off] = f_halo[:d_max]
+        fscr[off : off + bt] = f_main
+        fscr[off + bt : off + bt + d_max] = f_halo[d_max:]
+        f = fscr[:]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (bt, wp), 1)
+        # Banded shift-add: same rotate+mask scheme (and the same wrap-lands-
+        # in-masked-lanes argument) as reproject_frames_pallas; here the
+        # [w_len, wp) lanes are exact zeros (w_inv's padded columns).
+        acc = f[off : off + bt, :]
+        for d in range(-d_max, d_max + 1):
+            if d == 0:
+                continue
+            rows = f[off - d : off - d + bt, :]
+            rows = pltpu.roll(rows, shift=(-d * hop) % wp, axis=1)
+            valid = (lane >= -d * hop) & (lane < w_len - d * hop)
+            acc = acc + jnp.where(valid, rows, 0.0)
+        fr = acc * wss_ref[:]
+        fout_ref[0] = fr.astype(fout_ref.dtype)
+        # GEMM2 (MXU) + fused renorm/rescale.
+        s = jnp.dot(
+            fr.astype(dtype), wfwd_ref[:], preferred_element_type=jnp.float32
+        )
+        sr = s[:, :hp]
+        si = s[:, hp:]
+        inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24)
+        qout_ref[0] = (
+            s
+            * jnp.concatenate([inv, inv], axis=1)
+            * mblk[0].astype(jnp.float32)
+        ).astype(qout_ref.dtype)
+
+    qn, frames = pl.pallas_call(
+        kernel,
+        out_shape=(
+            jax.ShapeDtypeStruct((b_total, t_round, L), dtype),
+            jax.ShapeDtypeStruct((b_total, t_round, wp), dtype),
+        ),
+        grid=(b_total, n_t),
+        in_specs=[
+            pl.BlockSpec(
+                (1, bt, L), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, 1, 2 * d_max, L), lambda bi, ti: (bi, ti, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (2 * hp, wp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (wp, 2 * hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (bt, wp), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, bt, L), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=(
+            pl.BlockSpec(
+                (1, bt, L), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, bt, wp), lambda bi, ti: (bi, ti, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        scratch_shapes=[pltpu.VMEM((R, wp), jnp.float32)],
+        interpret=interpret,
+    )(q3, halo, w_inv, w_fwd, wss2d, mag3)
+
+    if t_round > n_frames:
+        qn = qn[:, :n_frames]
+        frames = frames[:, :n_frames]
+    qn = _patch_edges(
+        qn, frames, mag3[:, :n_frames], w_fwd, plan["runs"], n_frames, hp,
+        precision,
+    )
+    return qn.reshape(*batch, n_frames, L)

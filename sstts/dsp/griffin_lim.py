@@ -37,6 +37,15 @@ GL_FFT_IMPL = "dft_default"
 #: bit-comparable up to f32 summation order (tests/test_dsp.py).
 GL_DATA_PATH = "banded"
 
+#: Iteration fusion for the banded loop: "split" = iSTFT GEMM, Pallas
+#: reprojection, STFT GEMM, and renorm as separate XLA ops (spectrum and
+#: frames round-trip HBM between stages); "fused" = the whole iteration as
+#: one Pallas kernel (`sstts.dsp.gl_fused`), one HBM read of (q, mag) and
+#: one write of q' per iteration.  "auto" = fused on TPU at momentum=0.
+#: Default "split" until the fused kernel is benchmarked on the real chip
+#: (correctness is CPU-tested; the perf win is still an estimate).
+GL_ITER_IMPL = "split"
+
 
 def griffin_lim(
     magnitude: jnp.ndarray,
@@ -241,7 +250,9 @@ def _loop_banded(
     # speech); the final synthesis below unpacks and projects both exactly.
     packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
     hb = half - 1 if packed else half
-    if jax.default_backend() == "tpu":
+    # The fused iteration kernel requires the 128-lane-padded layout even in
+    # interpret mode (CPU tests force it via GL_ITER_IMPL="fused").
+    if jax.default_backend() == "tpu" or GL_ITER_IMPL == "fused":
         hp = -(-hb // 128) * 128
         wp = -(-w_len // 128) * 128
     else:
@@ -325,6 +336,11 @@ def _loop_banded(
     q0 = jnp.concatenate(
         [mag_r.astype(loop_dtype), qi0.astype(loop_dtype)], axis=-1
     )
+    use_fused = GL_ITER_IMPL == "fused" or (
+        GL_ITER_IMPL == "auto"
+        and momentum == 0.0
+        and jax.default_backend() == "tpu"
+    )
     if momentum > 0.0:
         m = np.float32(momentum)
 
@@ -337,6 +353,21 @@ def _loop_banded(
 
         q, _ = jax.lax.fori_loop(
             0, n_iters, body, (q0, jnp.zeros_like(q0))
+        )
+    elif use_fused:
+        from sstts.dsp.gl_fused import fused_gl_iteration
+
+        mag2 = jnp.concatenate(
+            [mag_r.astype(loop_dtype), mag_i.astype(loop_dtype)], axis=-1
+        )
+        interp = jax.default_backend() != "tpu"
+        q = jax.lax.fori_loop(
+            0, n_iters,
+            lambda _, q: fused_gl_iteration(
+                q, mag2, w_inv, w_fwd, n_fft, hop_length, win_length,
+                length, precision, interpret=interp,
+            ),
+            q0,
         )
     else:
         q = jax.lax.fori_loop(0, n_iters, lambda _, q: renorm(iterate(q)), q0)

@@ -374,3 +374,79 @@ def test_gl_packed_bf16_path_reconstructs(rng):
     e_exact, e_packed = spectral_err(exact), spectral_err(packed)
     # bf16 phase noise historically *helps* slightly; allow 15% slack.
     assert e_packed <= e_exact * 1.15, (e_packed, e_exact)
+
+
+def test_gl_fused_iteration_matches_split(rng):
+    """Full GL, f32 loop: the fused single-kernel iteration (interpret mode
+    on CPU) matches the split (GEMM / Pallas reprojection / GEMM / renorm)
+    path, including the reflect-pad edge-row repair."""
+    n_fft, hop, win_length, T = 512, 100, 400, 30
+    length = (T - 1) * hop
+    mag = jnp.asarray(rng.random((2, T, n_fft // 2 + 1)) ** 2, jnp.float32)
+    outs = {}
+    for impl in ("split", "fused"):
+        old = gl.GL_ITER_IMPL
+        gl.GL_ITER_IMPL = impl
+        try:
+            outs[impl] = np.asarray(
+                gl.griffin_lim(mag, n_fft, hop, win_length, 6, length,
+                               fft_impl="dft_high")
+            )
+        finally:
+            gl.GL_ITER_IMPL = old
+    a, b = outs["split"], outs["fused"]
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-4 * np.abs(a).max())
+
+
+def test_gl_fused_packed_bf16_reconstructs(rng):
+    """Production shape of the fused path: bf16 loop with Nyquist packing.
+    Reconstruction quality must track the split bf16 path."""
+    cfg = CFG
+    n = 3000
+    y = _signal(n, cfg.sample_rate, rng)
+    mag = np.abs(
+        ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)
+    ).astype(np.float32)
+
+    def spectral_err(wav):
+        got = np.abs(
+            ref.stft(wav.astype(np.float64), cfg.n_fft, cfg.hop_len, cfg.win_len)
+        )
+        return np.abs(got - mag).mean() / mag.mean()
+
+    outs = {}
+    for impl in ("split", "fused"):
+        old = gl.GL_ITER_IMPL
+        gl.GL_ITER_IMPL = impl
+        try:
+            outs[impl] = np.asarray(
+                gl.griffin_lim(jnp.asarray(mag), cfg.n_fft, cfg.hop_len,
+                               cfg.win_len, 8, n, fft_impl="dft_default")
+            )
+        finally:
+            gl.GL_ITER_IMPL = old
+    assert np.isfinite(outs["fused"]).all()
+    e_split = spectral_err(outs["split"])
+    e_fused = spectral_err(outs["fused"])
+    assert e_fused <= e_split * 1.15, (e_fused, e_split)
+
+
+def test_gl_fused_tiny_frame_count(rng):
+    """Frame counts small enough that the edge-repair slabs overlap take the
+    whole-array repair fallback and still match the split path."""
+    n_fft, hop, win_length, T = 512, 100, 400, 5
+    length = (T - 1) * hop
+    mag = jnp.asarray(rng.random((1, T, n_fft // 2 + 1)) ** 2, jnp.float32)
+    outs = {}
+    for impl in ("split", "fused"):
+        old = gl.GL_ITER_IMPL
+        gl.GL_ITER_IMPL = impl
+        try:
+            outs[impl] = np.asarray(
+                gl.griffin_lim(mag, n_fft, hop, win_length, 4, length,
+                               fft_impl="dft_high")
+            )
+        finally:
+            gl.GL_ITER_IMPL = old
+    a, b = outs["split"], outs["fused"]
+    np.testing.assert_allclose(a, b, rtol=0, atol=5e-4 * np.abs(a).max())
