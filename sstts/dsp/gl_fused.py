@@ -44,14 +44,17 @@ import numpy as np
 from sstts.dsp.reproject import _band_plan, _apply_mirror_runs
 
 
-def _pick_block(n_frames: int, bt_max: int = 64) -> int:
-    """Multiple-of-8 frame-block size <= bt_max minimizing row padding.
+#: Frame-block row cap.  Bigger blocks raise MXU m-utilization (the two
+#: in-kernel GEMMs process bt rows per pass against the 128-row systolic
+#: array) but grow VMEM residency; the two resident DFT matrices already
+#: hold ~9 MB of the ~16 MB/core.  96 balances both; sweep with
+#: scripts/profile_fused_gl.py.
+BT_MAX = 96
 
-    bt=64 keeps the kernel's VMEM residency (two ~4.5 MB DFT matrices +
-    block buffers + f32 scratch) comfortably under the ~16 MB/core budget;
-    128 fits only marginally and measured no faster (GEMM k and n dims are
-    large, so MXU utilization is set by k*n tiling, not m).
-    """
+
+def _pick_block(n_frames: int, bt_max: int | None = None) -> int:
+    """Multiple-of-8 frame-block size <= bt_max minimizing row padding."""
+    bt_max = BT_MAX if bt_max is None else bt_max
     if n_frames <= bt_max:
         return -(-n_frames // 8) * 8
     best = None
