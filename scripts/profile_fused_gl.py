@@ -30,8 +30,10 @@ def main() -> None:
 
     from sstts.dsp import gl_fused
 
-    bt_sweep = [int(a) for a in sys.argv[1:]] or [None]
-    for impl in ("split", "fused"):
+    args = [a for a in sys.argv[1:]]
+    impls = ("fused",) if "nosplit" in args else ("split", "fused")
+    bt_sweep = [int(a) for a in args if a != "nosplit"] or [None]
+    for impl in impls:
         for bt_max in [None] if impl == "split" else bt_sweep:
             gl.GL_ITER_IMPL = impl
             if bt_max is not None:

@@ -21,9 +21,10 @@ This module collapses the whole iteration into ONE kernel.  Each grid step
 4. Fused renorm: q' = s * rsqrt(re^2 + im^2) * mag, cast to the loop dtype.
 
 HBM traffic per iteration drops from ~8 full-array passes to:
-read q + halo + mag, write q' + frames (the frames output exists only so the
-XLA post-pass can exactly repair the handful of edge rows whose reflect-pad
-mirrors are impractical lane-reversals in-kernel; see `_patch_edges`).
+read q + halo + mag, write q'.  The handful of edge rows whose reprojected
+frames receive reflect-pad mirror values (impractical lane-reversals
+in-kernel) are repaired exactly by a thin XLA post-pass that rebuilds just
+those frames rows from q; see `_patch_edges` / `_edge_frames_xla`.
 
 Layout contract (matching `_loop_banded`'s packed bf16 path): the spectrum
 rides flat as (..., n_frames, 2*hp) with the real half in lanes [0, hp) and
@@ -47,9 +48,10 @@ from sstts.dsp.reproject import _band_plan, _apply_mirror_runs
 #: Frame-block row cap.  Bigger blocks raise MXU m-utilization (the two
 #: in-kernel GEMMs process bt rows per pass against the 128-row systolic
 #: array) but grow VMEM residency; the two resident DFT matrices already
-#: hold ~9 MB of the ~16 MB/core.  96 balances both; sweep with
-#: scripts/profile_fused_gl.py.
-BT_MAX = 96
+#: hold ~9 MB of the ~16 MB/core.  Measured on v5e at the headline shapes
+#: (scripts/profile_fused_gl.py): bt 64 -> 51.2 ms GL-60, bt 128 -> 43.5 ms
+#: (m-utilization beats the 12% row padding), and 128 still fits VMEM.
+BT_MAX = 128
 
 
 def _pick_block(n_frames: int, bt_max: int | None = None) -> int:
@@ -76,13 +78,57 @@ def _renorm_rows(s32: jnp.ndarray, mag_rows: jnp.ndarray, hp: int, dtype):
     ).astype(dtype)
 
 
+def _edge_frames_xla(
+    q3: jnp.ndarray,
+    w_inv: jnp.ndarray,
+    plan: dict,
+    rows_lo: int,
+    rows_hi: int,
+    n_frames: int,
+    hop: int,
+    precision,
+    dtype,
+) -> jnp.ndarray:
+    """Exact (pre-mirror) reprojected frames rows [rows_lo, rows_hi),
+    rebuilt from the spectrum in XLA: GEMM1 on the thin q neighborhood, the
+    banded shift-add on lane-padded columns (lanes beyond the window support
+    are exact zeros in both directions), then the wss envelope."""
+    d_max, w_len = plan["d_max"], plan["w_len"]
+    wp = w_inv.shape[1]
+    g_lo = max(0, rows_lo - d_max)
+    g_hi = min(n_frames, rows_hi + d_max)
+    f1 = jnp.matmul(
+        q3[:, g_lo:g_hi].astype(dtype), w_inv.astype(dtype),
+        precision=precision, preferred_element_type=jnp.float32,
+    )
+    top = g_lo - (rows_lo - d_max)
+    bot = (rows_hi + d_max) - g_hi
+    col_pad = d_max * hop
+    f1 = jnp.pad(f1, [(0, 0), (top, bot), (col_pad, col_pad)])
+    H = rows_hi - rows_lo
+    acc = None
+    for d in range(-d_max, d_max + 1):
+        term = f1[
+            :,
+            d_max - d : d_max - d + H,
+            col_pad + d * hop : col_pad + d * hop + wp,
+        ]
+        acc = term if acc is None else acc + term
+    wss = jnp.pad(
+        jnp.asarray(plan["wss2d"]), [(0, 0), (0, wp - w_len)]
+    )[rows_lo:rows_hi]
+    return acc * wss
+
+
 def _patch_edges(
     qn: jnp.ndarray,
-    frames: jnp.ndarray,
+    q3: jnp.ndarray,
     mag2: jnp.ndarray,
+    w_inv: jnp.ndarray,
     w_fwd: jnp.ndarray,
-    runs,
+    plan: dict,
     n_frames: int,
+    hop: int,
     hp: int,
     precision,
 ) -> jnp.ndarray:
@@ -90,10 +136,11 @@ def _patch_edges(
     reflect-pad mirror values (wss-masked to zero inside the kernel).
 
     `runs` is static host data; targets and sources cluster at the first and
-    last few frames, so each side is one thin slab: apply the mirror runs on
-    the slab, redo GEMM2 + renorm for those rows, and reassemble with a
-    single concatenate per side.
+    last few frames, so each side is one thin slab: rebuild its frames rows
+    from q, apply the mirror runs, redo GEMM2 + renorm, and reassemble with
+    a single concatenate per side.
     """
+    runs = plan["runs"]
     if not runs:
         return qn
     # Each side's slab must contain every run's target AND source rows
@@ -107,22 +154,25 @@ def _patch_edges(
     )
     dtype = qn.dtype
 
-    def fix(slab, mag_rows, local_runs):
-        slab = _apply_mirror_runs(slab.astype(jnp.float32), local_runs)
+    def fix(rows_lo, rows_hi, local_runs):
+        slab = _edge_frames_xla(
+            q3, w_inv, plan, rows_lo, rows_hi, n_frames, hop, precision,
+            dtype,
+        )
+        slab = _apply_mirror_runs(slab, local_runs)
         s32 = jnp.matmul(
             slab.astype(dtype), w_fwd.astype(dtype), precision=precision,
             preferred_element_type=jnp.float32,
         )
-        return _renorm_rows(s32, mag_rows, hp, dtype)
+        return _renorm_rows(s32, mag2[:, rows_lo:rows_hi], hp, dtype)
 
     if head_end > tail_start:  # tiny frame counts: slabs overlap, fix all
-        return fix(frames, mag2, runs)
+        return fix(0, n_frames, runs)
 
     parts = []
     if head_end > 0:
-        local = [r for r in runs if r[0] < head_end]
         parts.append(
-            fix(frames[:, :head_end], mag2[:, :head_end], local)
+            fix(0, head_end, [r for r in runs if r[0] < head_end])
         )
     parts.append(qn[:, head_end:tail_start])
     if tail_start < n_frames:
@@ -131,9 +181,7 @@ def _patch_edges(
             for r in runs
             if r[0] >= tail_start
         ]
-        parts.append(
-            fix(frames[:, tail_start:], mag2[:, tail_start:], local)
-        )
+        parts.append(fix(tail_start, n_frames, local))
     return jnp.concatenate(parts, axis=1)
 
 
@@ -204,7 +252,7 @@ def fused_gl_iteration(
     R = off + bt + d_max  # f32 frames slab rows; [0, off-d_max) never read
 
     def kernel(cblk, hblk, winv_ref, wfwd_ref, wss_ref, mblk,
-               qout_ref, fout_ref, fscr):
+               qout_ref, fscr):
         # GEMM1 (MXU): block rows and halo rows -> f32 synthesis frames,
         # assembled into the scratch slab at center offset `off`.
         f_main = jnp.dot(
@@ -230,7 +278,6 @@ def fused_gl_iteration(
             valid = (lane >= -d * hop) & (lane < w_len - d * hop)
             acc = acc + jnp.where(valid, rows, 0.0)
         fr = acc * wss_ref[:]
-        fout_ref[0] = fr.astype(fout_ref.dtype)
         # GEMM2 (MXU) + fused renorm/rescale.
         s = jnp.dot(
             fr.astype(dtype), wfwd_ref[:], preferred_element_type=jnp.float32
@@ -244,45 +291,40 @@ def fused_gl_iteration(
             * mblk[0].astype(jnp.float32)
         ).astype(qout_ref.dtype)
 
-    qn, frames = pl.pallas_call(
+    # Grid order: frame blocks OUTER, batch INNER, so the wss envelope block
+    # (index depends only on ti) is fetched once per frame block instead of
+    # once per (batch, block) pair; the DFT matrices (constant index) are
+    # fetched exactly once per call either way.
+    qn = pl.pallas_call(
         kernel,
-        out_shape=(
-            jax.ShapeDtypeStruct((b_total, t_round, L), dtype),
-            jax.ShapeDtypeStruct((b_total, t_round, wp), dtype),
-        ),
-        grid=(b_total, n_t),
+        out_shape=jax.ShapeDtypeStruct((b_total, t_round, L), dtype),
+        grid=(n_t, b_total),
         in_specs=[
             pl.BlockSpec(
-                (1, bt, L), lambda bi, ti: (bi, ti, 0),
+                (1, bt, L), lambda ti, bi: (bi, ti, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (1, 1, 2 * d_max, L), lambda bi, ti: (bi, ti, 0, 0),
+                (1, 1, 2 * d_max, L), lambda ti, bi: (bi, ti, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
             pl.BlockSpec(
-                (2 * hp, wp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
+                (2 * hp, wp), lambda ti, bi: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (wp, 2 * hp), lambda bi, ti: (0, 0), memory_space=pltpu.VMEM
+                (wp, 2 * hp), lambda ti, bi: (0, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (bt, wp), lambda bi, ti: (ti, 0), memory_space=pltpu.VMEM
+                (bt, wp), lambda ti, bi: (ti, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (1, bt, L), lambda bi, ti: (bi, ti, 0),
+                (1, bt, L), lambda ti, bi: (bi, ti, 0),
                 memory_space=pltpu.VMEM,
             ),
         ],
-        out_specs=(
-            pl.BlockSpec(
-                (1, bt, L), lambda bi, ti: (bi, ti, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (1, bt, wp), lambda bi, ti: (bi, ti, 0),
-                memory_space=pltpu.VMEM,
-            ),
+        out_specs=pl.BlockSpec(
+            (1, bt, L), lambda ti, bi: (bi, ti, 0),
+            memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[pltpu.VMEM((R, wp), jnp.float32)],
         interpret=interpret,
@@ -290,9 +332,8 @@ def fused_gl_iteration(
 
     if t_round > n_frames:
         qn = qn[:, :n_frames]
-        frames = frames[:, :n_frames]
     qn = _patch_edges(
-        qn, frames, mag3[:, :n_frames], w_fwd, plan["runs"], n_frames, hp,
-        precision,
+        qn, q3[:, :n_frames], mag3[:, :n_frames], w_inv, w_fwd, plan,
+        n_frames, hop, hp, precision,
     )
     return qn.reshape(*batch, n_frames, L)
