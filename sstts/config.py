@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 def ms_to_samples(ms: float, sample_rate: int) -> int:
@@ -191,6 +191,14 @@ class InferenceConfig:
     #: Fast-Griffin-Lim momentum (0 = classic reference algorithm; ~0.99
     #: reaches 60-iteration quality in roughly half the iterations).
     griffin_lim_momentum: float = 0.0
+    #: Griffin-Lim FFT implementation override (None = library default,
+    #: `sstts.dsp.griffin_lim.GL_FFT_IMPL`): "dft_default" (bf16 GEMMs),
+    #: "dft_high"/"dft_highest" (f32), or "xla" (jnp.fft).
+    griffin_lim_fft_impl: Optional[str] = None
+    #: Griffin-Lim iteration fusion override (None = library default,
+    #: `sstts.dsp.griffin_lim.GL_ITER_IMPL`): "split" or "fused" (one
+    #: Pallas kernel per iteration).
+    griffin_lim_iter_impl: Optional[str] = None
     #: Stop-token probability threshold.
     stop_threshold: float = 0.5
     #: Minimum decoder steps before the stop token can fire.

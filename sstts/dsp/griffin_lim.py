@@ -56,6 +56,7 @@ def griffin_lim(
     length: int,
     momentum: float = 0.0,
     fft_impl: str = "default",
+    iter_impl: str | None = None,
 ) -> jnp.ndarray:
     """(..., n_frames, bins) magnitude -> (..., length) waveform.
 
@@ -87,6 +88,7 @@ def griffin_lim(
                 "dft_high": jax.lax.Precision.HIGH,
                 "dft_highest": jax.lax.Precision.HIGHEST,
             }[fft_impl],
+            iter_impl=iter_impl or GL_ITER_IMPL,
         )
 
     def project(angles):
@@ -124,6 +126,7 @@ def _griffin_lim_real(
     momentum: float,
     loop_dtype,
     precision,
+    iter_impl: str | None = None,
 ) -> jnp.ndarray:
     """Real-arithmetic GL loop over direct-DFT GEMMs (see `griffin_lim`)."""
     from sstts.dsp import fft as mmfft
@@ -177,6 +180,7 @@ def _griffin_lim_real(
             magnitude, mag_d, n_fft, hop_length, win_length, n_iters, length,
             momentum, loop_dtype, precision,
             (w_len, cos_w, nsin_w, inv_re_w, inv_im_w), synth,
+            iter_impl=iter_impl or GL_ITER_IMPL,
         )
 
     def normalize(er, ei):
@@ -213,7 +217,7 @@ def _griffin_lim_real(
 
 def _loop_banded(
     magnitude, mag_d, n_fft, hop_length, win_length, n_iters, length,
-    momentum, loop_dtype, precision, mats, synth,
+    momentum, loop_dtype, precision, mats, synth, iter_impl=None,
 ):
     """GL loop over the fused banded data path, minimum-HBM-traffic layout.
 
@@ -248,11 +252,12 @@ def _loop_banded(
     # (DC, Nyquist) pair by their JOINT magnitude for the loop's iterations
     # (2 of 1025 bins, both carrying negligible energy for pre-emphasized
     # speech); the final synthesis below unpacks and projects both exactly.
+    iter_impl = iter_impl or GL_ITER_IMPL
     packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
     hb = half - 1 if packed else half
     # The fused iteration kernel requires the 128-lane-padded layout even in
-    # interpret mode (CPU tests force it via GL_ITER_IMPL="fused").
-    if jax.default_backend() == "tpu" or GL_ITER_IMPL == "fused":
+    # interpret mode (CPU tests force it via iter_impl="fused").
+    if jax.default_backend() == "tpu" or iter_impl == "fused":
         hp = -(-hb // 128) * 128
         wp = -(-w_len // 128) * 128
     else:
@@ -336,8 +341,8 @@ def _loop_banded(
     q0 = jnp.concatenate(
         [mag_r.astype(loop_dtype), qi0.astype(loop_dtype)], axis=-1
     )
-    use_fused = GL_ITER_IMPL == "fused" or (
-        GL_ITER_IMPL == "auto"
+    use_fused = iter_impl == "fused" or (
+        iter_impl == "auto"
         and momentum == 0.0
         and jax.default_backend() == "tpu"
     )
@@ -405,6 +410,8 @@ def spectrogram_to_wav(
     mag = ops.decibel_to_magnitude(db) ** inf.griffin_lim_power
     y = griffin_lim(
         mag, ds.n_fft, ds.hop_len, ds.win_len, inf.griffin_lim_iters, length,
-        momentum=inf.griffin_lim_momentum, fft_impl=GL_FFT_IMPL,
+        momentum=inf.griffin_lim_momentum,
+        fft_impl=inf.griffin_lim_fft_impl or GL_FFT_IMPL,
+        iter_impl=inf.griffin_lim_iter_impl,
     )
     return ops.deemphasis(y, ds.preemphasis)

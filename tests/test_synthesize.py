@@ -182,3 +182,21 @@ def test_mesh_data_parallel_synthesis(synth):
     for a, b in zip(want, got):
         assert a.shape == b.shape
         np.testing.assert_allclose(a, b, atol=1e-4)
+
+
+def test_gl_impl_config_overrides(synth):
+    """InferenceConfig.griffin_lim_{fft,iter}_impl select the vocoder
+    implementation per config (no module-global mutation needed)."""
+    cfg, s = synth
+    base = s.synthesize("config override test")
+    fused_cfg = cfg.replace(
+        inference=dataclasses.replace(
+            cfg.inference,
+            griffin_lim_fft_impl="dft_high",
+            griffin_lim_iter_impl="fused",
+        )
+    )
+    state = jax.device_get(create_state(cfg))
+    s2 = Synthesizer(fused_cfg, state.params, state.batch_stats)
+    wav = s2.synthesize("config override test")
+    assert wav.shape == base.shape and np.isfinite(wav).all()
