@@ -57,20 +57,29 @@ def main() -> None:
     # array is free); probing is bounded by a wall-clock budget so a badly
     # degraded link still yields a measurement with the default config.
     n_batches = 8
-    # (chunks, threads) candidates; each distinct chunk size costs one extra
-    # vocoder compile, so later candidates are only tried inside the budget.
-    # Stream depth is a host-side knob (no compile) and is probed for every
-    # candidate.
-    candidates = [(8, 4), (4, 4)]
+    # (chunks, threads, gl_iter_impl) candidates; each distinct chunk size /
+    # GL implementation costs one extra vocoder compile, so later candidates
+    # are only tried inside the budget.  Fused-GL candidates go first: the
+    # single-kernel vocoder compiles locally in seconds (Mosaic) while the
+    # split XLA graph takes minutes through a degraded remote compile
+    # service, and the two run within a few percent of each other — so even
+    # a budget-expired probe pass yields a near-optimal configuration.
+    # Stream depth is a host-side knob (no compile), probed per candidate.
+    candidates = [
+        (8, 4, "fused"),
+        (4, 4, "fused"),
+        (8, 4, "split"),
+    ]
     depths = (2, 3)
     probe_budget_s = 150.0
     state = create_state(cfg)
     t_start = time.perf_counter()
     best = None
-    for chunks, threads in candidates:
+    for chunks, threads, gl_impl in candidates:
         c = cfg.replace(
             inference=dataclasses.replace(
-                cfg.inference, pipeline_chunks=chunks, fetch_threads=threads
+                cfg.inference, pipeline_chunks=chunks, fetch_threads=threads,
+                griffin_lim_iter_impl=gl_impl,
             )
         )
         synth = Synthesizer(c, state.params, state.batch_stats)
