@@ -42,8 +42,12 @@ GL_DATA_PATH = "banded"
 #: frames round-trip HBM between stages); "fused" = the whole iteration as
 #: one Pallas kernel (`sstts.dsp.gl_fused`), one HBM read of (q, mag) and
 #: one write of q' per iteration.  "auto" = fused on TPU at momentum=0.
-#: Default "split" until the fused kernel is benchmarked on the real chip
-#: (correctness is CPU-tested; the perf win is still an estimate).
+#: "split_xla" = split iteration with the XLA banded reprojection (no
+#: Pallas custom calls — required under a GSPMD-partitioned mesh program,
+#: which cannot shard opaque custom calls; `Synthesizer` selects it
+#: automatically when given a mesh).  Default "split" until the fused
+#: kernel is benchmarked on the real chip (correctness is CPU-tested; the
+#: perf win is still an estimate).
 GL_ITER_IMPL = "split"
 
 
@@ -253,6 +257,8 @@ def _loop_banded(
     # (2 of 1025 bins, both carrying negligible energy for pre-emphasized
     # speech); the final synthesis below unpacks and projects both exactly.
     iter_impl = iter_impl or GL_ITER_IMPL
+    # "split_xla": mesh-safe split iteration, Pallas-free data path.
+    reproject_impl = "xla" if iter_impl == "split_xla" else "auto"
     packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
     hb = half - 1 if packed else half
     # The fused iteration kernel requires the 128-lane-padded layout even in
@@ -311,7 +317,10 @@ def _loop_banded(
 
     def iterate(q):
         frames = mm(q, w_inv).astype(loop_dtype)
-        frames = reproject(frames, n_fft, hop_length, win_length, length)
+        frames = reproject(
+            frames, n_fft, hop_length, win_length, length,
+            impl=reproject_impl,
+        )
         # Cast in the GEMM epilogue: the renorm pass then reads the spectrum
         # at loop precision (half the HBM traffic of an f32 dot output).
         return mm(frames, w_fwd).astype(loop_dtype)

@@ -49,6 +49,17 @@ class Synthesizer:
         batch-parallel, so no cross-device collectives are needed).  The
         pipelined chunk fetch is a single-host-link optimization and is
         bypassed under a mesh."""
+        if mesh is not None and cfg.inference.griffin_lim_iter_impl is None:
+            # GSPMD partitions the whole synthesis program over the mesh but
+            # cannot shard opaque custom calls, so the vocoder must stay
+            # Pallas-free: split iteration + XLA banded reprojection.
+            import dataclasses as _dc
+
+            cfg = cfg.replace(
+                inference=_dc.replace(
+                    cfg.inference, griffin_lim_iter_impl="split_xla"
+                )
+            )
         self.cfg = cfg
         self.mesh = mesh
         dtype = (

@@ -450,3 +450,16 @@ def test_gl_fused_tiny_frame_count(rng):
             gl.GL_ITER_IMPL = old
     a, b = outs["split"], outs["fused"]
     np.testing.assert_allclose(a, b, rtol=0, atol=5e-4 * np.abs(a).max())
+
+
+def test_gl_split_xla_matches_split(rng):
+    """"split_xla" (mesh-safe, Pallas-free) == "split" on CPU (where the
+    reprojection dispatch resolves to XLA for both)."""
+    n_fft, hop, win_length, T = 512, 100, 400, 20
+    length = (T - 1) * hop
+    mag = jnp.asarray(rng.random((2, T, n_fft // 2 + 1)) ** 2, jnp.float32)
+    a = np.asarray(gl.griffin_lim(mag, n_fft, hop, win_length, 5, length,
+                                  fft_impl="dft_high", iter_impl="split"))
+    b = np.asarray(gl.griffin_lim(mag, n_fft, hop, win_length, 5, length,
+                                  fft_impl="dft_high", iter_impl="split_xla"))
+    np.testing.assert_allclose(a, b, rtol=0, atol=1e-5 * np.abs(a).max())
