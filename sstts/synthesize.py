@@ -42,14 +42,30 @@ class Synthesizer:
         batch_stats: Any,
         seed: int = 0,
         mesh: Any = None,
+        partition: str = "gspmd",
     ):
         """`mesh`: optional `jax.sharding.Mesh` for data-parallel synthesis —
-        the batch shards over the "data" axis, variables replicate, and XLA
-        partitions the whole program (encoder, AR scan, Griffin-Lim are all
-        batch-parallel, so no cross-device collectives are needed).  The
-        pipelined chunk fetch is a single-host-link optimization and is
-        bypassed under a mesh."""
-        if mesh is not None and cfg.inference.griffin_lim_iter_impl is None:
+        the batch shards over the "data" axis, variables replicate, and the
+        whole program partitions over devices (encoder, AR scan, Griffin-Lim
+        are all batch-parallel, so no cross-device collectives are needed).
+        The pipelined chunk fetch is a single-host-link optimization and is
+        bypassed under a mesh.
+
+        `partition` (mesh only): "gspmd" lets XLA partition one global
+        program from the sharding annotations (the vocoder auto-selects the
+        Pallas-free "split_xla" implementation, since GSPMD cannot shard
+        opaque custom calls); "shard_map" maps the per-shard program over
+        the mesh explicitly, so the Pallas kernels run per-shard unchanged
+        (the per-utterance prenet-dropout streams are folded with the shard
+        index, so the noise differs from the gspmd layout but stays
+        independent across shards)."""
+        if partition not in ("gspmd", "shard_map"):
+            raise ValueError(f"unknown partition mode: {partition!r}")
+        if (
+            mesh is not None
+            and partition == "gspmd"
+            and cfg.inference.griffin_lim_iter_impl is None
+        ):
             # GSPMD partitions the whole synthesis program over the mesh but
             # cannot shard opaque custom calls, so the vocoder must stay
             # Pallas-free: split iteration + XLA banded reprojection.
@@ -62,6 +78,7 @@ class Synthesizer:
             )
         self.cfg = cfg
         self.mesh = mesh
+        self.partition = partition if mesh is not None else "gspmd"
         dtype = (
             jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
         )
@@ -78,9 +95,13 @@ class Synthesizer:
         else:
             self.variables = jax.device_put(variables)
         self._rng = jax.random.PRNGKey(seed)
-        self._program = jax.jit(
-            self._synthesize_fn, static_argnames=("max_steps",)
-        )
+        if self.partition == "shard_map":
+            self._program = self._shard_map_program
+            self._sm_cache: Dict[int, Any] = {}
+        else:
+            self._program = jax.jit(
+                self._synthesize_fn, static_argnames=("max_steps",)
+            )
         self._prepare = jax.jit(
             self._prepare_fn, static_argnames=("max_steps",)
         )
@@ -93,6 +114,42 @@ class Synthesizer:
             )["wav_i16"],
             static_argnames=("size",),
         )
+
+    def _shard_map_program(self, variables, char_ids, rng, max_steps: int):
+        """Explicit SPMD: map the per-shard synthesis program over the mesh.
+
+        Each device runs the FULL single-chip program (including the Pallas
+        kernels) on its batch shard; there are no cross-device collectives
+        because every stage is batch-parallel.  One compiled program per
+        max_steps, cached."""
+        if max_steps not in self._sm_cache:
+            try:
+                from jax import shard_map
+            except ImportError:  # older jax
+                from jax.experimental.shard_map import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            def local(variables, ids, rng):
+                rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
+                return self._synthesize_fn(variables, ids, rng, max_steps)
+
+            # check_vma=False (check_rep in older jax): the decoder scan
+            # carries are shard-varying, which the static replication
+            # checker cannot express.
+            try:
+                wrapped = shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(P(), P("data"), P()),
+                    out_specs=P("data"), check_vma=False,
+                )
+            except TypeError:
+                wrapped = shard_map(
+                    local, mesh=self.mesh,
+                    in_specs=(P(), P("data"), P()),
+                    out_specs=P("data"), check_rep=False,
+                )
+            self._sm_cache[max_steps] = jax.jit(wrapped)
+        return self._sm_cache[max_steps](variables, char_ids, rng)
 
     # The jitted pipeline -------------------------------------------------- #
 
@@ -192,6 +249,13 @@ class Synthesizer:
         for i, e in enumerate(encoded):
             ids[i, : len(e)] = e
         self._rng, rng = jax.random.split(self._rng)
+        if self.mesh is not None:
+            # One partitioned program over the mesh; chunked fetch is a
+            # single-host-link optimization and does not apply.
+            out = self._program(
+                self.variables, self._put_ids(ids), rng, max_steps=max_steps
+            )
+            return [out["wav_i16"]], out["n_samples"]
         prep = self._prepare(
             self.variables, self._put_ids(ids), rng, max_steps=max_steps
         )
