@@ -27,4 +27,21 @@ __all__ = [
     "InferenceConfig",
     "TrainingConfig",
     "tiny_config",
+    "Synthesizer",
 ]
+
+# Only names that do NOT collide with submodules (sstts.train etc. must
+# keep resolving to their modules).
+_LAZY = {
+    "Synthesizer": ("sstts.synthesize", "Synthesizer"),
+}
+
+
+def __getattr__(name: str):
+    """Lazy top-level entry points (importing sstts stays jax-import-free)."""
+    if name in _LAZY:
+        import importlib
+
+        module, attr = _LAZY[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'sstts' has no attribute {name!r}")
