@@ -85,13 +85,19 @@ def main() -> None:
         synth = Synthesizer(c, state.params, state.batch_stats)
         synth.synthesize_batch(texts)  # compile + warm
         for depth in depths:
+            # The probe stream must exceed `depth` batches, or every depth
+            # executes the same dispatch-all-then-drain schedule and the
+            # probe measures nothing.
+            n_probe = max(depths) + 1
             t0 = time.perf_counter()
             n_out = sum(
                 len(out)
-                for out in synth.synthesize_stream([texts] * 2, depth=depth)
+                for out in synth.synthesize_stream(
+                    [texts] * n_probe, depth=depth
+                )
             )
-            probe = (time.perf_counter() - t0) / 2
-            assert n_out == 2 * batch
+            probe = (time.perf_counter() - t0) / n_probe
+            assert n_out == n_probe * batch
             if best is None or probe < best[0]:
                 best = (probe, synth, depth, chunks, threads)
         if time.perf_counter() - t_start > probe_budget_s:

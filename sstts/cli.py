@@ -149,12 +149,22 @@ def main(argv=None) -> int:
 
         texts = list(args.text)
         if args.text_file:
-            with open(args.text_file) as fh:
-                texts += [line.strip() for line in fh if line.strip()]
+            try:
+                with open(args.text_file) as fh:
+                    texts += [line.strip() for line in fh if line.strip()]
+            except OSError as e:
+                print(f"cannot read --text-file: {e}", file=sys.stderr)
+                return 1
         if not texts:
             print("nothing to synthesize: pass --text and/or --text-file",
                   file=sys.stderr)
             return 1
+        if args.out and len(texts) > 1:
+            print(
+                "--out applies to single-text runs only; writing "
+                "synthesis_<i>.wav files under the workdir output dir",
+                file=sys.stderr,
+            )
         ckpt = CheckpointManager(cfg, args.workdir)
         step, state = ckpt.restore_latest(jax.device_get(create_state(cfg)))
         if step is None:

@@ -43,6 +43,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from sstts.dsp.reproject import _band_plan, _apply_mirror_runs
+from sstts.dsp.reproject import _pick_block as _pick_block_capped
 
 
 #: Frame-block row cap.  Bigger blocks raise MXU m-utilization (the two
@@ -55,16 +56,10 @@ BT_MAX = 128
 
 
 def _pick_block(n_frames: int, bt_max: int | None = None) -> int:
-    """Multiple-of-8 frame-block size <= bt_max minimizing row padding."""
+    """Multiple-of-8 frame-block size <= bt_max minimizing row padding
+    (shared heuristic: `reproject._pick_block`)."""
     bt_max = BT_MAX if bt_max is None else bt_max
-    if n_frames <= bt_max:
-        return -(-n_frames // 8) * 8
-    best = None
-    for bt in range(bt_max, 15, -8):
-        pad = -(-n_frames // bt) * bt - n_frames
-        if best is None or (pad, -bt) < best[0]:
-            best = ((pad, -bt), bt)
-    return best[1]
+    return _pick_block_capped(n_frames, bt_max=bt_max, bt_min=16)
 
 
 def _renorm_rows(s32: jnp.ndarray, mag_rows: jnp.ndarray, hp: int, dtype):
@@ -256,10 +251,12 @@ def fused_gl_iteration(
         # GEMM1 (MXU): block rows and halo rows -> f32 synthesis frames,
         # assembled into the scratch slab at center offset `off`.
         f_main = jnp.dot(
-            cblk[0], winv_ref[:], preferred_element_type=jnp.float32
+            cblk[0], winv_ref[:], precision=precision,
+            preferred_element_type=jnp.float32,
         )
         f_halo = jnp.dot(
-            hblk[0, 0], winv_ref[:], preferred_element_type=jnp.float32
+            hblk[0, 0], winv_ref[:], precision=precision,
+            preferred_element_type=jnp.float32,
         )
         fscr[off - d_max : off] = f_halo[:d_max]
         fscr[off : off + bt] = f_main
@@ -280,7 +277,8 @@ def fused_gl_iteration(
         fr = acc * wss_ref[:]
         # GEMM2 (MXU) + fused renorm/rescale.
         s = jnp.dot(
-            fr.astype(dtype), wfwd_ref[:], preferred_element_type=jnp.float32
+            fr.astype(dtype), wfwd_ref[:], precision=precision,
+            preferred_element_type=jnp.float32,
         )
         sr = s[:, :hp]
         si = s[:, hp:]

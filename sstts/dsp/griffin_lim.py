@@ -257,13 +257,25 @@ def _loop_banded(
     # (2 of 1025 bins, both carrying negligible energy for pre-emphasized
     # speech); the final synthesis below unpacks and projects both exactly.
     iter_impl = iter_impl or GL_ITER_IMPL
+    if iter_impl not in ("auto", "split", "split_xla", "fused"):
+        raise ValueError(
+            f"unknown griffin_lim iter_impl {iter_impl!r}; expected one of "
+            "'auto', 'split', 'split_xla', 'fused'"
+        )
+    if momentum > 0.0 and iter_impl == "fused":
+        raise ValueError(
+            "iter_impl='fused' does not support griffin_lim_momentum > 0 "
+            "(the fused kernel folds renorm into the iteration); use "
+            "'split' or momentum=0"
+        )
     # "split_xla": mesh-safe split iteration, Pallas-free data path.
     reproject_impl = "xla" if iter_impl == "split_xla" else "auto"
     packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
     hb = half - 1 if packed else half
     # The fused iteration kernel requires the 128-lane-padded layout even in
-    # interpret mode (CPU tests force it via iter_impl="fused").
-    if jax.default_backend() == "tpu" or iter_impl == "fused":
+    # interpret mode, and "split_xla" pads on CPU too so tests exercise the
+    # exact TPU-mesh geometry (the padded-lane XLA reprojection).
+    if jax.default_backend() == "tpu" or iter_impl in ("fused", "split_xla"):
         hp = -(-hb // 128) * 128
         wp = -(-w_len // 128) * 128
     else:

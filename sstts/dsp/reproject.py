@@ -190,14 +190,14 @@ def _mirror_runs_windowed(
     return jnp.concatenate([head, out[:, win_l:win_r], tail], axis=1)
 
 
-def _pick_block(n_frames: int) -> int:
-    """Multiple-of-8 frame-block size minimizing row padding (Mosaic needs
-    the block sublane dim divisible by 8; non-dividing totals are handled by
-    zero-padding the frame axis up to the grid)."""
-    if n_frames <= 256:
+def _pick_block(n_frames: int, bt_max: int = 256, bt_min: int = 64) -> int:
+    """Multiple-of-8 frame-block size in [bt_min, bt_max] minimizing row
+    padding (Mosaic needs the block sublane dim divisible by 8; non-dividing
+    totals are handled by zero-padding the frame axis up to the grid)."""
+    if n_frames <= bt_max:
         return -(-n_frames // 8) * 8
     best = None
-    for bt in range(256, 63, -8):
+    for bt in range(bt_max, bt_min - 1, -8):
         pad = -(-n_frames // bt) * bt - n_frames
         if best is None or (pad, -bt) < best[0]:
             best = ((pad, -bt), bt)
@@ -348,6 +348,20 @@ def reproject(
         impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     if impl == "pallas":
         return reproject_frames_pallas(frames, n_fft, hop, win_length, length)
+    # The XLA path also accepts the GL loop's 128-lane-padded layout (the
+    # Pallas kernel's calling convention): slice to the window support,
+    # reproject, and re-pad with exact zeros.
+    n_frames, w_in = frames.shape[-2], frames.shape[-1]
+    plan = _band_plan(n_fft, hop, win_length, n_frames, length)
+    w_len = plan["w_len"]
+    if w_in != w_len:
+        assert w_in == -(-w_len // 128) * 128, (w_in, w_len)
+        out = reproject_frames(
+            frames[..., :w_len], n_fft, hop, win_length, length
+        ).astype(frames.dtype)
+        return jnp.pad(
+            out, [(0, 0)] * (out.ndim - 1) + [(0, w_in - w_len)]
+        )
     return reproject_frames(frames, n_fft, hop, win_length, length).astype(
         frames.dtype
     )

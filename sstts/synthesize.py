@@ -95,9 +95,10 @@ class Synthesizer:
         else:
             self.variables = jax.device_put(variables)
         self._rng = jax.random.PRNGKey(seed)
+        self._sm_cache: Dict[Any, Any] = {}
+        self._lite_jit = None
         if self.partition == "shard_map":
             self._program = self._shard_map_program
-            self._sm_cache: Dict[int, Any] = {}
         else:
             self._program = jax.jit(
                 self._synthesize_fn, static_argnames=("max_steps",)
@@ -115,14 +116,18 @@ class Synthesizer:
             static_argnames=("size",),
         )
 
-    def _shard_map_program(self, variables, char_ids, rng, max_steps: int):
+    def _shard_map_program(
+        self, variables, char_ids, rng, max_steps: int, lite: bool = False
+    ):
         """Explicit SPMD: map the per-shard synthesis program over the mesh.
 
         Each device runs the FULL single-chip program (including the Pallas
         kernels) on its batch shard; there are no cross-device collectives
         because every stage is batch-parallel.  One compiled program per
-        max_steps, cached."""
-        if max_steps not in self._sm_cache:
+        (max_steps, lite), cached; `lite` returns only the wire outputs
+        (wav_i16, n_samples) so nothing larger is materialized."""
+        key = (max_steps, lite)
+        if key not in self._sm_cache:
             try:
                 from jax import shard_map
             except ImportError:  # older jax
@@ -131,7 +136,10 @@ class Synthesizer:
 
             def local(variables, ids, rng):
                 rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
-                return self._synthesize_fn(variables, ids, rng, max_steps)
+                out = self._synthesize_fn(variables, ids, rng, max_steps)
+                if lite:
+                    return {k: out[k] for k in ("wav_i16", "n_samples")}
+                return out
 
             # check_vma=False (check_rep in older jax): the decoder scan
             # carries are shard-varying, which the static replication
@@ -148,8 +156,26 @@ class Synthesizer:
                     in_specs=(P(), P("data"), P()),
                     out_specs=P("data"), check_rep=False,
                 )
-            self._sm_cache[max_steps] = jax.jit(wrapped)
-        return self._sm_cache[max_steps](variables, char_ids, rng)
+            self._sm_cache[key] = jax.jit(wrapped)
+        return self._sm_cache[key](variables, char_ids, rng)
+
+    def _mesh_lite_program(self, variables, char_ids, rng, max_steps: int):
+        """Mesh serving program returning only the wire outputs (wav_i16,
+        n_samples) — the f32 waveform, spectra, and alignments are dead code
+        XLA eliminates, instead of device allocations per streamed batch."""
+        if self.partition == "shard_map":
+            return self._shard_map_program(
+                variables, char_ids, rng, max_steps, lite=True
+            )
+        if self._lite_jit is None:
+            self._lite_jit = jax.jit(
+                lambda v, i, r, max_steps: {
+                    k: self._synthesize_fn(v, i, r, max_steps)[k]
+                    for k in ("wav_i16", "n_samples")
+                },
+                static_argnames=("max_steps",),
+            )
+        return self._lite_jit(variables, char_ids, rng, max_steps=max_steps)
 
     # The jitted pipeline -------------------------------------------------- #
 
@@ -252,8 +278,8 @@ class Synthesizer:
         if self.mesh is not None:
             # One partitioned program over the mesh; chunked fetch is a
             # single-host-link optimization and does not apply.
-            out = self._program(
-                self.variables, self._put_ids(ids), rng, max_steps=max_steps
+            out = self._mesh_lite_program(
+                self.variables, self._put_ids(ids), rng, max_steps
             )
             return [out["wav_i16"]], out["n_samples"]
         prep = self._prepare(
@@ -350,9 +376,14 @@ class Synthesizer:
         for i, e in enumerate(encoded):
             ids[i, : len(e)] = e
         self._rng, rng = jax.random.split(self._rng)
-        out = self._program(
-            self.variables, self._put_ids(ids), rng, max_steps=max_steps
-        )
+        if self.mesh is not None and not full_output:
+            out = self._mesh_lite_program(
+                self.variables, self._put_ids(ids), rng, max_steps
+            )
+        else:
+            out = self._program(
+                self.variables, self._put_ids(ids), rng, max_steps=max_steps
+            )
         if not full_output:
             # Only the PCM16 waveform crosses the device boundary (the
             # linear/mel tensors are an order of magnitude larger, and f32

@@ -222,14 +222,17 @@ def test_mesh_shard_map_synthesis(synth):
     )
     texts = ["hello world"] * 8
     got = sm.synthesize_batch(texts)
-    want = s.synthesize_batch(texts)
     assert len(got) == 8
-    for a, b in zip(got, want):
+    # Prenet dropout streams fold in the shard index, so waveforms are not
+    # bitwise-comparable to the single-device run; the stop-token trim
+    # contract must still hold: every waveform is non-empty and no longer
+    # than max_decoder_steps' worth of audio.
+    r = cfg.arch.reduction_factor
+    max_len = (cfg.inference.max_decoder_steps * r - 1) * cfg.dataset.hop_len
+    for a in got:
         assert np.isfinite(a).all()
-        # Prenet dropout streams fold in the shard index, so waveforms are
-        # not bitwise-comparable to the single-device run; duration must
-        # still be driven by the same stop-token logic.
-        assert abs(len(a) - len(b)) <= cfg.dataset.hop_len * 1000
+        assert 0 < len(a) <= max_len
+        assert len(a) % cfg.dataset.hop_len == 0
 
     # Streaming API under a mesh goes through the same partitioned program.
     outs = list(sm.synthesize_stream([texts] * 2, depth=1))
