@@ -90,6 +90,10 @@ def build_parser() -> argparse.ArgumentParser:
                    help="text to synthesize (repeatable for a batch)")
     s.add_argument("--text-file", default=None,
                    help="file with one sentence per line (batch synthesis)")
+    s.add_argument("--longform", action="store_true",
+                   help="treat all input text as ONE document: split at "
+                   "sentence boundaries, batch-synthesize, join into a "
+                   "single WAV (--out applies)")
     s.add_argument("--out", default=None, help="output WAV path (single text)")
     return p
 
@@ -159,7 +163,7 @@ def main(argv=None) -> int:
             print("nothing to synthesize: pass --text and/or --text-file",
                   file=sys.stderr)
             return 1
-        if args.out and len(texts) > 1:
+        if args.out and len(texts) > 1 and not args.longform:
             print(
                 "--out applies to single-text runs only; writing "
                 "synthesis_<i>.wav files under the workdir output dir",
@@ -176,7 +180,13 @@ def main(argv=None) -> int:
         from sstts.data.wav import save_wav
 
         outdir = Path(args.workdir) / cfg.inference.output_dir
-        if len(texts) == 1:
+        if args.longform:
+            wav = synth.synthesize_longform(" ".join(texts))
+            out = Path(args.out) if args.out else outdir / "longform.wav"
+            out.parent.mkdir(parents=True, exist_ok=True)
+            save_wav(out, wav, cfg.dataset.sample_rate)
+            print(f"wrote {out}")
+        elif len(texts) == 1:
             out = Path(args.out) if args.out else outdir / "synthesis_0.wav"
             print(f"wrote {synth.to_file(texts[0], out)}")
         else:

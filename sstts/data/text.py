@@ -87,3 +87,57 @@ def decode(ids: np.ndarray) -> str:
         if c != PAD:
             out.append(c)
     return "".join(out)
+
+
+_SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?;])\s+")
+
+
+def split_sentences(text: str, max_chars: int) -> List[str]:
+    """Split long text into synthesis chunks of <= max_chars (normalized).
+
+    Splits at sentence punctuation first; sentences that still exceed the
+    budget split at word boundaries (a single word longer than max_chars is
+    hard-cut).  Adjacent short sentences pack into one chunk so the decoder
+    sees natural prosodic groups instead of fragments.  Serves paragraph /
+    document synthesis past the model's max_text_len (the reference's only
+    long-input strategy was more decoder steps — SURVEY.md §5.7).
+    """
+    if max_chars < 1:
+        raise ValueError("max_chars must be positive")
+    norm = normalize(text)
+    if not norm:
+        return []
+    pieces: List[str] = []
+    for sentence in _SENTENCE_SPLIT_RE.split(norm):
+        if len(sentence) <= max_chars:
+            pieces.append(sentence)
+            continue
+        words = sentence.split(" ")
+        cur = ""
+        for w in words:
+            while len(w) > max_chars:  # pathological single word
+                pieces.append(w[:max_chars])
+                w = w[max_chars:]
+            if not cur:
+                cur = w
+            elif len(cur) + 1 + len(w) <= max_chars:
+                cur = f"{cur} {w}"
+            else:
+                pieces.append(cur)
+                cur = w
+        if cur:
+            pieces.append(cur)
+    # Pack adjacent pieces up to the budget.
+    chunks: List[str] = []
+    cur = ""
+    for p in pieces:
+        if not cur:
+            cur = p
+        elif len(cur) + 1 + len(p) <= max_chars:
+            cur = f"{cur} {p}"
+        else:
+            chunks.append(cur)
+            cur = p
+    if cur:
+        chunks.append(cur)
+    return chunks

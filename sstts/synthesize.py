@@ -405,6 +405,46 @@ class Synthesizer:
     def synthesize(self, text: str, **kw) -> np.ndarray:
         return self.synthesize_batch([text], **kw)[0]
 
+    def synthesize_longform(
+        self,
+        text: str,
+        max_chars: Optional[int] = None,
+        gap_ms: float = 120.0,
+        fade_ms: float = 5.0,
+        **kw,
+    ) -> np.ndarray:
+        """Paragraph/document -> one waveform (past the model's text limit).
+
+        The text splits into sentence-grouped chunks of at most `max_chars`
+        normalized characters (default: the dataset's max_text_len), the
+        chunks synthesize as ONE padded batch (a single compiled program),
+        and the per-chunk waveforms join with a `gap_ms` pause and short
+        `fade_ms` edge ramps (click-free joins).  The reference's only
+        long-input strategy was more decoder steps (SURVEY.md §5.7); this
+        covers inputs beyond any single decode's length budget.
+        """
+        from sstts.data.text import split_sentences
+
+        ds = self.cfg.dataset
+        max_chars = max_chars or ds.max_text_len - 1  # room for EOS
+        chunks = split_sentences(text, max_chars)
+        if not chunks:
+            return np.zeros(0, np.float32)
+        wavs = self.synthesize_batch(chunks, **kw)
+        gap = np.zeros(int(ds.sample_rate * gap_ms / 1000.0), np.float32)
+        fade = int(ds.sample_rate * fade_ms / 1000.0)
+        parts: List[np.ndarray] = []
+        for i, w in enumerate(wavs):
+            w = np.asarray(w, np.float32).copy()
+            n = min(fade, len(w) // 2)
+            if n > 0:
+                w[:n] *= np.linspace(0.0, 1.0, n, dtype=np.float32)
+                w[-n:] *= np.linspace(1.0, 0.0, n, dtype=np.float32)
+            parts.append(w)
+            if i + 1 < len(wavs):
+                parts.append(gap)
+        return np.concatenate(parts)
+
     def to_file(self, text: str, path: str | Path, **kw) -> Path:
         wav = self.synthesize(text, **kw)
         path = Path(path)

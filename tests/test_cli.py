@@ -72,3 +72,20 @@ def test_cli_synthesize_missing_checkpoint(tmp_path, monkeypatch):
         ["synthesize", "--workdir", str(tmp_path / "empty"), "--text", "hi"]
     )
     assert rc == 1
+
+
+def test_cli_longform(tmp_path, monkeypatch):
+    _patch_config(monkeypatch)
+    workdir = tmp_path / "run"
+    assert cli_mod.main(
+        ["train", "--workdir", str(workdir), "--max-steps", "2"]
+    ) == 0
+    out = tmp_path / "doc.wav"
+    rc = cli_mod.main(
+        [
+            "synthesize", "--workdir", str(workdir), "--longform",
+            "--text", "one sentence here. and another one!",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0 and out.exists() and out.stat().st_size > 44

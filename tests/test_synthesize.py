@@ -237,3 +237,33 @@ def test_mesh_shard_map_synthesis(synth):
     # Streaming API under a mesh goes through the same partitioned program.
     outs = list(sm.synthesize_stream([texts] * 2, depth=1))
     assert [len(o) for o in outs] == [8, 8]
+
+
+def test_split_sentences_budget_and_packing():
+    from sstts.data.text import split_sentences
+
+    text = ("Hello world. This is a test! A very very long sentence that "
+            "goes on and should split at word boundaries. Short.")
+    chunks = split_sentences(text, 40)
+    assert all(len(c) <= 40 for c in chunks)
+    # Re-joining loses nothing but the inter-chunk spaces.
+    from sstts.data.text import normalize
+    assert " ".join(chunks) == normalize(text)
+    assert split_sentences("", 40) == []
+    assert split_sentences("x" * 90, 30) == ["x" * 30] * 3
+
+
+def test_synthesize_longform(synth):
+    cfg, s = synth
+    text = "hello world. this is a longer paragraph input! with sentences."
+    wav = s.synthesize_longform(text, max_chars=20, gap_ms=50.0)
+    assert wav.dtype == np.float32 and wav.ndim == 1
+    from sstts.data.text import split_sentences
+    n_chunks = len(split_sentences(text, 20))
+    assert n_chunks > 1
+    gap = int(cfg.dataset.sample_rate * 50.0 / 1000.0)
+    # At least the inter-chunk gaps' worth of audio beyond one utterance.
+    assert len(wav) >= (n_chunks - 1) * gap
+    assert np.isfinite(wav).all()
+    # Empty input -> empty waveform, no dispatch.
+    assert len(s.synthesize_longform("")) == 0
