@@ -128,9 +128,43 @@ def evaluate(
         _, eval_utts = load_corpus(cfg)
         synth = Synthesizer(cfg, state.params, state.batch_stats)
         outdir = Path(workdir) / cfg.inference.output_dir
-        for u in eval_utts[:synthesize_count]:
-            synth.to_file(u.text, outdir / f"eval_{u.uid}.wav")
-        print(f"wrote {min(synthesize_count, len(eval_utts))} WAVs to {outdir}")
+        outdir.mkdir(parents=True, exist_ok=True)
+        utts = eval_utts[:synthesize_count]
+        wavs, full = synth.synthesize_batch(
+            [u.text for u in utts], full_output=True
+        )
+        from sstts.data.wav import save_wav
+
+        for i, u in enumerate(utts):
+            save_wav(outdir / f"eval_{u.uid}.wav", wavs[i],
+                     cfg.dataset.sample_rate)
+        # Alignment / spectrogram plots (reference evaluate emitted plots —
+        # SURVEY.md §3.3, §2.1 visualization); skipped when matplotlib is
+        # unavailable.
+        try:
+            from sstts.utils.visualization import (
+                plot_attention_alignment,
+                plot_spectrogram,
+            )
+
+            import numpy as _np
+
+            for i, u in enumerate(utts):
+                nf = int(full["n_frames"][i])
+                steps = max(1, nf // cfg.arch.reduction_factor)
+                plot_attention_alignment(
+                    _np.asarray(full["alignments"][i][:steps]),
+                    title=f"alignment {u.uid}",
+                    path=outdir / f"eval_{u.uid}_alignment.png",
+                )
+                plot_spectrogram(
+                    _np.asarray(full["mel"][i][:nf]),
+                    title=f"mel {u.uid}",
+                    path=outdir / f"eval_{u.uid}_mel.png",
+                )
+        except ImportError:
+            pass
+        print(f"wrote {len(utts)} WAVs (+plots) to {outdir}")
     logger.close()
     ckpt.close()
     return metrics

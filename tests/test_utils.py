@@ -119,3 +119,34 @@ def test_profiling_timed_reports_stats():
     stats = timed(f, jnp.ones((64,)), trials=3, warmup=1)
     assert stats["median_s"] > 0 and stats["p10_s"] <= stats["p90_s"]
     assert stats["trials"] == 3
+
+
+def test_evaluate_driver_writes_wavs_and_plots(tmp_path):
+    """`evaluate(workdir, synthesize_count=N)` restores the checkpoint and
+    writes eval WAVs plus alignment/mel plots (SURVEY.md §3.3)."""
+    from sstts import evaluate as eval_mod
+    from sstts import train as train_mod
+
+    cfg = _cfg()
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(cfg.dataset, synthetic_size=24),
+        inference=dataclasses.replace(
+            cfg.inference, max_decoder_steps=6, griffin_lim_iters=2,
+            min_decoder_steps=2,
+        ),
+    )
+    train_mod.train(cfg, workdir=tmp_path, max_steps=2, log_every=1)
+    metrics = eval_mod.evaluate(
+        cfg, tmp_path, num_batches=1, synthesize_count=2
+    )
+    assert np.isfinite(metrics["loss"])
+    outdir = tmp_path / cfg.inference.output_dir
+    # The tiny synthetic eval split may hold fewer than the requested 2.
+    wavs = list(outdir.glob("eval_*.wav"))
+    assert 1 <= len(wavs) <= 2
+    try:
+        import matplotlib  # noqa: F401
+        assert len(list(outdir.glob("eval_*_alignment.png"))) == len(wavs)
+        assert len(list(outdir.glob("eval_*_mel.png"))) == len(wavs)
+    except ImportError:
+        pass
