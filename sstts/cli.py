@@ -182,6 +182,10 @@ def main(argv=None) -> int:
         outdir = Path(args.workdir) / cfg.inference.output_dir
         if args.longform:
             wav = synth.synthesize_longform(" ".join(texts))
+            if len(wav) == 0:
+                print("no synthesizable text after normalization",
+                      file=sys.stderr)
+                return 1
             out = Path(args.out) if args.out else outdir / "longform.wav"
             out.parent.mkdir(parents=True, exist_ok=True)
             save_wav(out, wav, cfg.dataset.sample_rate)

@@ -107,27 +107,20 @@ def split_sentences(text: str, max_chars: int) -> List[str]:
     norm = normalize(text)
     if not norm:
         return []
+    # Emit ordered pieces (whole sentences, or words / hard-cut fragments of
+    # oversized sentences), then pack adjacent pieces greedily in ONE pass —
+    # packing never reorders, so document order is preserved.
     pieces: List[str] = []
     for sentence in _SENTENCE_SPLIT_RE.split(norm):
         if len(sentence) <= max_chars:
             pieces.append(sentence)
             continue
-        words = sentence.split(" ")
-        cur = ""
-        for w in words:
+        for w in sentence.split(" "):
             while len(w) > max_chars:  # pathological single word
                 pieces.append(w[:max_chars])
                 w = w[max_chars:]
-            if not cur:
-                cur = w
-            elif len(cur) + 1 + len(w) <= max_chars:
-                cur = f"{cur} {w}"
-            else:
-                pieces.append(cur)
-                cur = w
-        if cur:
-            pieces.append(cur)
-    # Pack adjacent pieces up to the budget.
+            if w:
+                pieces.append(w)
     chunks: List[str] = []
     cur = ""
     for p in pieces:

@@ -80,7 +80,8 @@ def resynthesis_metrics(
     _, gt_mel = jax.jit(lambda s: wav_to_features(s, cfg.dataset))(samples)
     synth = Synthesizer(cfg, state.params, state.batch_stats)
     _, full = synth.synthesize_batch(
-        [u.text for u in utts], full_output=True
+        [u.text for u in utts], full_output=True,
+        fetch=("wav", "mel", "n_frames", "n_samples"),
     )
     l1s, len_errs = [], []
     for i in range(len(utts)):
@@ -131,7 +132,8 @@ def evaluate(
         outdir.mkdir(parents=True, exist_ok=True)
         utts = eval_utts[:synthesize_count]
         wavs, full = synth.synthesize_batch(
-            [u.text for u in utts], full_output=True
+            [u.text for u in utts], full_output=True,
+            fetch=("wav", "mel", "alignments", "n_frames", "n_samples"),
         )
         from sstts.data.wav import save_wav
 

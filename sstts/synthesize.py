@@ -352,8 +352,15 @@ class Synthesizer:
         max_steps: Optional[int] = None,
         text_bucket: Optional[int] = None,
         full_output: bool = False,
+        fetch: Optional[Sequence[str]] = None,
     ) -> List[np.ndarray] | Tuple[List[np.ndarray], Dict[str, np.ndarray]]:
-        """Texts -> list of float32 waveforms (trimmed to each stop token)."""
+        """Texts -> list of float32 waveforms (trimmed to each stop token).
+
+        `fetch` (full_output only): restrict the host transfer to these
+        output keys — must include "wav" and "n_samples".  The full dict
+        holds the large linear/mel spectrograms and alignments; over a
+        constrained host link, fetch only what you consume.
+        """
         cfg = self.cfg
         if not full_output and self._chunk_count(len(texts)) > 1:
             # Pipelined path: fetching finished Griffin-Lim chunks from
@@ -395,6 +402,11 @@ class Synthesizer:
                 / 32767.0
                 for i in range(len(texts))
             ]
+        if fetch is not None:
+            missing = {"wav", "n_samples"} - set(fetch)
+            if missing:
+                raise ValueError(f"fetch must include {sorted(missing)}")
+            out = {k: out[k] for k in fetch}
         out = jax.device_get(out)
         wavs = [
             np.asarray(out["wav"][i, : int(out["n_samples"][i])])
@@ -426,11 +438,19 @@ class Synthesizer:
         from sstts.data.text import split_sentences
 
         ds = self.cfg.dataset
-        max_chars = max_chars or ds.max_text_len - 1  # room for EOS
+        if max_chars is None:
+            max_chars = ds.max_text_len - 1  # room for EOS
         chunks = split_sentences(text, max_chars)
         if not chunks:
             return np.zeros(0, np.float32)
-        wavs = self.synthesize_batch(chunks, **kw)
+        # Bucket the batch dimension (next power of two; under a mesh, at
+        # least the data-axis size so the shard divides) — every distinct
+        # chunk count would otherwise compile a fresh whole-pipeline program.
+        n = len(chunks)
+        bucket = 1 << (n - 1).bit_length()
+        if self.mesh is not None:
+            bucket = max(bucket, self.mesh.shape["data"])
+        wavs = self.synthesize_batch(chunks + [""] * (bucket - n), **kw)[:n]
         gap = np.zeros(int(ds.sample_rate * gap_ms / 1000.0), np.float32)
         fade = int(ds.sample_rate * fade_ms / 1000.0)
         parts: List[np.ndarray] = []

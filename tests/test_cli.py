@@ -89,3 +89,9 @@ def test_cli_longform(tmp_path, monkeypatch):
         ]
     )
     assert rc == 0 and out.exists() and out.stat().st_size > 44
+    # Text that normalizes to nothing errors instead of writing an empty WAV.
+    rc = cli_mod.main(
+        ["synthesize", "--workdir", str(workdir), "--longform",
+         "--text", "\u4f60\u597d"]
+    )
+    assert rc == 1

@@ -251,6 +251,12 @@ def test_split_sentences_budget_and_packing():
     assert " ".join(chunks) == normalize(text)
     assert split_sentences("", 40) == []
     assert split_sentences("x" * 90, 30) == ["x" * 30] * 3
+    # Ordering: a hard-cut word must not jump ahead of preceding words.
+    assert split_sentences("hi " + "x" * 60 + " there", 30) == [
+        "hi", "x" * 30, "x" * 30, "there",
+    ]
+    with pytest.raises(ValueError, match="positive"):
+        split_sentences("hello", 0)
 
 
 def test_synthesize_longform(synth):
@@ -267,3 +273,22 @@ def test_synthesize_longform(synth):
     assert np.isfinite(wav).all()
     # Empty input -> empty waveform, no dispatch.
     assert len(s.synthesize_longform("")) == 0
+    # Explicit invalid budget surfaces, not silently defaulted.
+    with pytest.raises(ValueError, match="positive"):
+        s.synthesize_longform("hello", max_chars=0)
+
+
+def test_synthesize_longform_on_mesh(synth):
+    """Chunk counts that do not divide the mesh data axis must still work
+    (the batch pads to a bucketed, axis-divisible size)."""
+    from sstts.parallel.mesh import make_mesh
+
+    cfg, s = synth
+    mesh = make_mesh(jax.devices())
+    params = jax.device_get(s.variables)["params"]
+    stats = jax.device_get(s.variables)["batch_stats"]
+    sm = Synthesizer(cfg, params, stats, mesh=mesh)
+    wav = sm.synthesize_longform(
+        "one sentence. two sentences! three now.", max_chars=15
+    )
+    assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
