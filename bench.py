@@ -68,6 +68,8 @@ def main() -> None:
     candidates = [
         (8, 4, "fused"),
         (4, 4, "fused"),
+        (2, 4, "fused"),  # degraded windows: per-CALL relay overhead
+        # dominates (CLAUDE.md), so fewer vocode dispatches per batch wins
         (8, 4, "split"),
     ]
     depths = (2, 3)
