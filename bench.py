@@ -65,19 +65,24 @@ def main() -> None:
     # service, and the two run within a few percent of each other — so even
     # a budget-expired probe pass yields a near-optimal configuration.
     # Stream depth is a host-side knob (no compile), probed per candidate.
-    candidates = [
+    queue = [
         (8, 4, "fused"),
         (4, 4, "fused"),
-        (2, 4, "fused"),  # degraded windows: per-CALL relay overhead
-        # dominates (CLAUDE.md), so fewer vocode dispatches per batch wins
         (8, 4, "split"),
     ]
     depths = (2, 3)
     probe_budget_s = 150.0
+    # Per-batch wall above this marks a dispatch-degraded window (healthy
+    # ~0.22 s — CLAUDE.md), where per-CALL relay overhead dominates; only
+    # then is a low-chunk candidate (fewer vocode dispatches per batch)
+    # worth its extra compile + probe cost.
+    degraded_batch_s = 0.45
     state = create_state(cfg)
     t_start = time.perf_counter()
     best = None
-    for chunks, threads, gl_impl in candidates:
+    low_chunk_queued = False
+    while queue:
+        chunks, threads, gl_impl = queue.pop(0)
         c = cfg.replace(
             inference=dataclasses.replace(
                 cfg.inference, pipeline_chunks=chunks, fetch_threads=threads,
@@ -101,11 +106,14 @@ def main() -> None:
             probe = (time.perf_counter() - t0) / n_probe
             assert n_out == n_probe * batch
             if best is None or probe < best[0]:
-                best = (probe, synth, depth, chunks, threads)
+                best = (probe, synth, depth, chunks, threads, gl_impl)
+        if not low_chunk_queued and best[0] > degraded_batch_s:
+            queue.insert(0, (2, 4, "fused"))
+            low_chunk_queued = True
         if time.perf_counter() - t_start > probe_budget_s:
             break
 
-    probe_s, synth, depth, chunks, threads = best
+    probe_s, synth, depth, chunks, threads, gl_impl = best
     # Shrink the full measurement when the link is so degraded that three
     # 8-batch passes would blow the driver's time budget.
     repeats = 3 if probe_s * n_batches * 3 < 180.0 else 1
@@ -128,6 +136,8 @@ def main() -> None:
                 "value": round(rtf, 2),
                 "unit": "x_realtime_per_chip_b32",
                 "vs_baseline": round(rtf / 50.0, 3),
+                "config": f"chunks={chunks},threads={threads},"
+                          f"depth={depth},gl={gl_impl}",
             }
         )
     )
