@@ -65,6 +65,10 @@ class DatasetConfig:
     #: Directory of the offline pre-computation cache (empty = disabled).
     #: Built by `python -m sstts.cli precompute`; see data/features_cache.py.
     cache_dir: str = ""
+    #: Resample corpus audio to `sample_rate` at load time instead of
+    #: raising on mismatch (host-side polyphase sinc, sstts.dsp.resample;
+    #: for 16 kHz corpora like Blizzard-Nancy / CSS10).
+    resample_on_load: bool = False
 
     @property
     def win_len(self) -> int:
@@ -162,6 +166,16 @@ class TrainingConfig:
     frame_buckets: Tuple[int, ...] = (256, 512, 768, 1024)
     #: Compute features (STFT/mel/dB) on device inside the train step.
     on_device_features: bool = True
+    #: Keep the whole bucketed PCM16 corpus resident in device HBM and
+    #: gather batches on device ("auto" = when it fits the budget below;
+    #: "on" = require it; "off" = host feeding).  Removes the per-step
+    #: host->device batch upload — the measured training bottleneck on a
+    #: constrained host link (BASELINE.md) — at the cost of one upfront
+    #: upload.  LJSpeech (~4 GB PCM16 padded) fits a v5e's 16 GB HBM.
+    device_corpus_cache: str = "auto"
+    #: HBM budget for the resident corpus (MiB); "auto" falls back to host
+    #: feeding beyond this.
+    device_corpus_budget_mb: int = 6144
     #: Debug mode (SURVEY.md §5.2): enable `jax_debug_nans` so the first NaN
     #: produced inside any jitted step raises with a traceback instead of
     #: silently propagating.  Disables async dispatch — training only.
@@ -199,6 +213,12 @@ class InferenceConfig:
     #: `sstts.dsp.griffin_lim.GL_ITER_IMPL`): "split" or "fused" (one
     #: Pallas kernel per iteration).
     griffin_lim_iter_impl: Optional[str] = None
+    #: Autoregressive decoder implementation (None = library default,
+    #: `sstts.ops.pallas_decoder.DECODER_IMPL` = "auto": the fused Pallas
+    #: whole-scan kernel on TPU for Bahdanau attention — measured 2.0x the
+    #: XLA scan's in-program cost — and the XLA scan elsewhere / under
+    #: GSPMD meshes): "auto" | "xla" | "fused".
+    decoder_impl: Optional[str] = None
     #: Stop-token probability threshold.
     stop_threshold: float = 0.5
     #: Minimum decoder steps before the stop token can fire.
@@ -228,17 +248,56 @@ class Config:
     def replace(self, **sections: Any) -> "Config":
         return dataclasses.replace(self, **sections)
 
+    #: Fields excluded from the checkpoint fingerprint: knobs that change
+    #: neither the parameter-tree structure nor the feature-space semantics
+    #: of the trained state, so flipping them against an existing workdir
+    #: must NOT invalidate its checkpoints.  (Storage locations, corpus
+    #: selection/caps, loss weighting, and the fused-conv-bank execution
+    #: strategy — whose docstring guarantees checkpoint compatibility.)
+    _FINGERPRINT_EXCLUDE = {
+        "dataset": frozenset(
+            {
+                "dataset",
+                "dataset_dir",
+                "cache_dir",
+                "synthetic_size",
+                "eval_fraction",
+                "trim_top_db",
+                "max_text_len",
+                "max_frames",
+                "resample_on_load",
+            }
+        ),
+        "arch": frozenset(
+            {
+                "fused_conv_bank",
+                "loss_low_freq_weight",
+                "loss_low_freq_hz",
+                "stop_token_weight",
+                "guided_attention_weight",
+                "guided_attention_sigma",
+            }
+        ),
+    }
+
     def fingerprint(self) -> str:
         """Stable JSON fingerprint stored in checkpoints for resume validation.
 
-        Covers only the sections that define the trained state (dataset +
-        architecture): inference/evaluation/training knobs may be freely
+        Covers only the fields that define the trained state: the dataset
+        section's feature-space hyperparameters and the architecture section's
+        structural hyperparameters.  Everything in `_FINGERPRINT_EXCLUDE`
+        (plus the whole training/evaluation/inference sections) may be freely
         overridden when restoring a checkpoint.
         """
+        sections = {"dataset": self.dataset, "arch": self.arch}
         return json.dumps(
             {
-                "dataset": dataclasses.asdict(self.dataset),
-                "arch": dataclasses.asdict(self.arch),
+                name: {
+                    k: v
+                    for k, v in sorted(dataclasses.asdict(section).items())
+                    if k not in self._FINGERPRINT_EXCLUDE[name]
+                }
+                for name, section in sections.items()
             },
             sort_keys=True,
         )

@@ -60,9 +60,16 @@ def load_audio(utt: Utterance, cfg: Config) -> np.ndarray:
         else:
             y, sr = wav_mod.load_wav(utt.wav_path)
         if sr != ds.sample_rate:
-            raise ValueError(
-                f"{utt.wav_path}: sample rate {sr} != configured {ds.sample_rate}"
-            )
+            if ds.resample_on_load:
+                from sstts.dsp.resample import resample
+
+                y = resample(y, sr, ds.sample_rate)
+            else:
+                raise ValueError(
+                    f"{utt.wav_path}: sample rate {sr} != configured "
+                    f"{ds.sample_rate} (set dataset.resample_on_load to "
+                    "convert at load time)"
+                )
         y = native_loader.trim_silence(y, ds.trim_top_db)
     return y
 
@@ -186,8 +193,13 @@ class Batcher:
                 lt, fr = self.shapes[bucket]
                 yield bucket, make_batch(pools.pop(bucket), lt, fr, self.cfg)
         # Flush remainders, repeating entries to fill the static batch shape.
+        # Fill rows are masked out of the loss (loss_frames=0) so repeated
+        # utterances do not get double gradient weight at the epoch tail.
         for bucket, items in pools.items():
+            n_real = len(items)
             while len(items) < batch_size:
-                items.append(items[len(items) % max(1, len(items))])
+                items.append(items[len(items) % n_real])
             lt, fr = self.shapes[bucket]
-            yield bucket, make_batch(items[:batch_size], lt, fr, self.cfg)
+            batch = make_batch(items[:batch_size], lt, fr, self.cfg)
+            batch["loss_frames"][n_real:] = 0
+            yield bucket, batch

@@ -62,8 +62,16 @@ def tacotron_loss(
     logits = outputs["stop_logits"]
     targets = stop_targets(loss_frames, total)
     # Mask extends one group past the end so the positive class is seen.
+    # loss_frames == 0 marks a fill row (epoch-tail batch padding): it must
+    # contribute nothing, so its stop mask is empty rather than the first
+    # reduction group.
     stop_mask = frame_mask_from_lengths(
-        jnp.minimum(loss_frames + arch.reduction_factor, total), total
+        jnp.where(
+            loss_frames > 0,
+            jnp.minimum(loss_frames + arch.reduction_factor, total),
+            0,
+        ),
+        total,
     ).astype(jnp.float32)
     bce = optax_sigmoid_bce(logits, targets)
     l_stop = jnp.sum(bce * stop_mask) / jnp.maximum(jnp.sum(stop_mask), 1.0)

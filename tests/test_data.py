@@ -105,6 +105,37 @@ def test_batcher_static_shapes():
     assert seen >= 2
 
 
+def test_batcher_remainder_fill_rows_masked():
+    """Epoch-tail flush batches repeat utterances to fill the static shape;
+    the fill rows must carry loss_frames == 0 so no utterance gets double
+    gradient weight, and every real utterance appears exactly once."""
+    cfg = _tiny_training_cfg()
+    utts = synthetic.make_utterances(7, cfg.dataset, min_words=1, max_words=2)
+    b = pipeline.Batcher(utts, cfg)
+    shapes = pipeline.frame_bucket_shapes(cfg)
+    hop = cfg.dataset.hop_len
+    kept = sum(
+        pipeline.assign_bucket(
+            len(ids), 1 + len(b._audio(u)) // hop, shapes
+        )
+        >= 0
+        for u, ids in b.examples
+    )
+    batches = list(b.epoch(seed=0, batch_size=4))
+    real_rows = sum(
+        int((batch["loss_frames"] > 0).sum()) for _, batch in batches
+    )
+    assert real_rows == kept
+    fill_rows = sum(
+        int((batch["loss_frames"] == 0).sum()) for _, batch in batches
+    )
+    assert fill_rows > 0  # 7 utterances, batch 4 -> at least one fill row
+    # Fill rows still carry valid (repeated) data for the static shapes.
+    for _, batch in batches:
+        assert (batch["n_frames"] > 0).all()
+        assert (batch["text_len"] > 0).all()
+
+
 def test_batcher_frame_counts_match_stft():
     cfg = _tiny_training_cfg()
     utts = synthetic.make_utterances(4, cfg.dataset, min_words=1, max_words=2)
@@ -119,6 +150,75 @@ def test_batcher_frame_counts_match_stft():
         lt, fr = pipeline.frame_bucket_shapes(cfg)[bucket]
         assert spec.shape[-2] == fr
         break
+
+
+def test_blizzard_nancy_loader(tmp_path):
+    from sstts.data.corpora import load_blizzard_nancy
+
+    (tmp_path / "wavn").mkdir()
+    (tmp_path / "prompts.data").write_text(
+        '( APDC2-001-01 "Hello there." )\n'
+        '( APDC2-001-02 "A second, longer prompt with 42 things." )\n'
+        '( APDC2-001-03 "" )\n'  # empty text -> dropped
+    )
+    cfg = DatasetConfig(dataset="blizzard_nancy", dataset_dir=str(tmp_path))
+    utts = load_blizzard_nancy(cfg)
+    assert [u.uid for u in utts] == ["APDC2-001-01", "APDC2-001-02"]
+    assert utts[0].text == "hello there."
+    assert utts[0].wav_path.endswith("wavn/APDC2-001-01.wav")
+    assert "forty two" in utts[1].text or "42" in utts[1].text
+
+
+def test_css10_loader(tmp_path):
+    from sstts.data.corpora import load_css10
+
+    (tmp_path / "transcript.txt").write_text(
+        "achtgesichterambiwasse/1.wav|Ein Mädchen.|Ein Maedchen.|2.1\n"
+        "achtgesichterambiwasse/2.wav|Zwei Sätze hier.||1.0\n"
+        "\n"
+    )
+    cfg = DatasetConfig(dataset="css10", dataset_dir=str(tmp_path))
+    utts = load_css10(cfg)
+    assert len(utts) == 2
+    assert utts[0].uid == "1"
+    assert utts[0].wav_path.endswith("achtgesichterambiwasse/1.wav")
+    # Normalized column preferred; umlauts transliterate to ASCII.
+    assert utts[0].text == "ein maedchen."
+    assert utts[1].text == "zwei satze hier."
+
+
+def test_load_audio_resample_on_load(tmp_path):
+    """A mismatched-rate corpus loads through the polyphase resampler when
+    dataset.resample_on_load is set, and raises otherwise."""
+    from sstts.data.ljspeech import Utterance
+
+    sr_in, sr_out = 16000, 8000
+    t = np.arange(sr_in) / sr_in
+    y = (0.5 * np.sin(2 * np.pi * 440.0 * t)).astype(np.float32)
+    p = tmp_path / "u1.wav"
+    wav_mod.save_wav(p, y, sr_in)
+    utt = Utterance("u1", str(p), "hello")
+
+    strict = Config(
+        dataset=DatasetConfig(sample_rate=sr_out, trim_top_db=200.0)
+    )
+    with pytest.raises(ValueError, match="sample rate"):
+        pipeline.load_audio(utt, strict)
+
+    relaxed = Config(
+        dataset=DatasetConfig(
+            sample_rate=sr_out, trim_top_db=200.0, resample_on_load=True
+        )
+    )
+    got = pipeline.load_audio(utt, relaxed)
+    # Silence trimming works at STFT-frame granularity, so allow one
+    # analysis window of slack on the resampled length.
+    assert abs(len(got) - sr_out) <= 2048
+    # Dominant frequency preserved through the rate change.
+    f = np.fft.rfftfreq(len(got), 1 / sr_out)[
+        np.argmax(np.abs(np.fft.rfft(got * np.hanning(len(got)))))
+    ]
+    assert abs(f - 440.0) < 5.0
 
 
 def test_features_cache_roundtrip_and_batch_identity(tmp_path):
