@@ -142,6 +142,61 @@ def bench_config_3() -> dict:
     }
 
 
+def bench_config_3c() -> dict:
+    """Config 3 end-to-end with the HBM-resident corpus: batches are
+    gathered ON DEVICE each step (no per-step host upload), so this is the
+    steady-state training throughput the harness can actually sustain —
+    the host-fed path was link-bound at 10-12 steps/s (BASELINE.md)."""
+    import jax
+
+    from sstts.config import Config
+    from sstts.data.synthetic import make_utterances
+    from sstts.train import (
+        build_device_corpus,
+        cached_epoch_indices,
+        create_state,
+        make_cached_train_step,
+    )
+
+    cfg = Config()
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(cfg.dataset, dataset="synthetic"),
+        training=dataclasses.replace(
+            cfg.training, batch_size=32, text_buckets=(128,),
+            frame_buckets=(400,),
+        ),
+    )
+    utts = make_utterances(128, cfg.dataset)
+    built, reason = build_device_corpus(cfg, utts)
+    if built is None:
+        return {"config": "cached_train_step_b32", "error": reason}
+    corpus, counts = built
+    state = create_state(cfg)
+    step = make_cached_train_step(cfg)
+    idx_stream = list(cached_epoch_indices(counts, 32, seed=0))
+    holder = {"state": state, "i": 0}
+    chain = 10
+
+    def run():
+        for _ in range(chain):
+            bucket, idx, valid = idx_stream[holder["i"] % len(idx_stream)]
+            holder["i"] += 1
+            holder["state"], metrics = step(
+                holder["state"], corpus[bucket], idx, valid
+            )
+        np.asarray(jax.device_get(metrics["loss"]))
+
+    wall = _timeit(run) / chain
+    return {
+        "config": "cached_train_step_b32",
+        "batch": 32,
+        "resident_utterances": sum(counts.values()),
+        "wall_seconds": round(wall, 4),
+        "steps_per_second": round(1.0 / wall, 2),
+        "examples_per_second": round(32.0 / wall, 1),
+    }
+
+
 def bench_config_4() -> dict:
     # >1000 decoder steps -> 210 * r(5) = 1050 steps... keep frames > 1000:
     # 210 scan steps emit 1050 frames (~13 s of audio) in one fixed program.
@@ -224,6 +279,7 @@ BENCHES = {
     "1": bench_config_1,
     "2": bench_config_2,
     "3": bench_config_3,
+    "3c": bench_config_3c,
     "4": bench_config_4,
     "5": bench_config_5,
 }
@@ -231,7 +287,7 @@ BENCHES = {
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--configs", default="1,2,3,3c,4,5")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     results = []

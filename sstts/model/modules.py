@@ -211,6 +211,9 @@ class CBHG(nn.Module):
     gru_units: int
     dtype: jnp.dtype = jnp.float32
     fused_bank: bool = True
+    #: GRU backend override (None = global/platform auto; "xla" is pinned by
+    #: mesh-aware callers under GSPMD partitioning — see sstts.model.rnn).
+    gru_backend: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -253,4 +256,7 @@ class CBHG(nn.Module):
             y = Highway(self.highway_units, dtype=self.dtype, name=f"highway{i}")(y)
         if mask is not None:
             y = y * mask[..., None].astype(y.dtype)
-        return BiGRU(self.gru_units, dtype=self.dtype, name="gru")(y, mask)
+        return BiGRU(
+            self.gru_units, dtype=self.dtype, backend=self.gru_backend,
+            name="gru",
+        )(y, mask)

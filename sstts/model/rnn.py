@@ -17,11 +17,19 @@ direction of `BiGRU`, which reaches the padding *first*.
 Full-sequence GRUs dispatch between two backends sharing one parameter set
 and one step function (`sstts.ops.pallas_gru.gru_step_math`):
 
-* "xla"    — `lax.scan` (default; correctness oracle),
+* "xla"    — `lax.scan` (correctness oracle; the only choice under a
+             GSPMD-partitioned mesh, which cannot shard opaque custom calls),
 * "pallas" — the fused single-kernel sequence GRU (weights resident in VMEM,
-             carry in scratch, time as the pipelined grid).
+             carry in scratch, time as the pipelined grid), differentiable
+             via an XLA-rematerialized backward (`gru_sequence_ad`).
+             Measured on v5e (scripts/profile_gru.py, same-window A/B):
+             2.2x the scan at the post-CBHG shape (B=32, T=800, H=128),
+             parity at encoder length,
+* "auto"   — (default) "pallas" on the TPU backend, "xla" elsewhere.
 
-Select via `SSTTS_GRU_BACKEND` or `sstts.model.rnn.GRU_BACKEND`.
+Select via `SSTTS_GRU_BACKEND`, `sstts.model.rnn.GRU_BACKEND`, or the
+per-module `backend` attribute (used by mesh-aware callers to pin "xla"
+under GSPMD partitioning).
 """
 
 from __future__ import annotations
@@ -33,10 +41,25 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from sstts.ops.pallas_gru import gru_sequence, gru_sequence_xla, gru_step_math
+from sstts.ops.pallas_gru import (
+    gru_sequence_ad,
+    gru_sequence_xla,
+    gru_step_math,
+)
 
-#: "xla" | "pallas".  Overridable by the SSTTS_GRU_BACKEND env var.
-GRU_BACKEND = os.environ.get("SSTTS_GRU_BACKEND", "xla")
+#: "auto" | "xla" | "pallas".  Overridable by the SSTTS_GRU_BACKEND env var.
+GRU_BACKEND = os.environ.get("SSTTS_GRU_BACKEND", "auto")
+
+
+def resolve_gru_backend(override: Optional[str] = None) -> str:
+    """Resolve a backend choice ("auto"/None defers to the global, then to
+    the platform: pallas on TPU, xla elsewhere)."""
+    backend = override or GRU_BACKEND
+    if backend == "auto":
+        backend = "pallas" if jax.default_backend() == "tpu" else "xla"
+    if backend not in ("xla", "pallas"):
+        raise ValueError(f"unknown GRU backend: {backend!r}")
+    return backend
 
 
 def _gru_params(module: nn.Module, d_in: int, features: int):
@@ -94,6 +117,8 @@ class UnidirectionalGRU(nn.Module):
     features: int
     reverse: bool = False
     dtype: jnp.dtype = jnp.float32
+    #: None = defer to the global GRU_BACKEND / platform auto-detection.
+    backend: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -102,8 +127,8 @@ class UnidirectionalGRU(nn.Module):
         mask: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         wx, wh, b = _gru_params(self, xs.shape[-1], self.features)
-        if GRU_BACKEND == "pallas":
-            ys = gru_sequence(xs, wx, wh, b, mask, reverse=self.reverse)
+        if resolve_gru_backend(self.backend) == "pallas":
+            ys = gru_sequence_ad(xs, wx, wh, b, mask, self.reverse)
         else:
             ys = gru_sequence_xla(xs, wx, wh, b, mask, reverse=self.reverse)
         return ys.astype(self.dtype)
@@ -114,6 +139,7 @@ class BiGRU(nn.Module):
 
     features: int
     dtype: jnp.dtype = jnp.float32
+    backend: Optional[str] = None
 
     @nn.compact
     def __call__(
@@ -121,10 +147,12 @@ class BiGRU(nn.Module):
     ) -> jnp.ndarray:
         if mask is not None:
             xs = xs * mask[..., None].astype(xs.dtype)
-        fwd = UnidirectionalGRU(self.features, dtype=self.dtype, name="forward")(
-            xs, mask
-        )
+        fwd = UnidirectionalGRU(
+            self.features, dtype=self.dtype, backend=self.backend,
+            name="forward",
+        )(xs, mask)
         bwd = UnidirectionalGRU(
-            self.features, reverse=True, dtype=self.dtype, name="backward"
+            self.features, reverse=True, dtype=self.dtype,
+            backend=self.backend, name="backward",
         )(xs, mask)
         return jnp.concatenate([fwd, bwd], axis=-1)

@@ -27,6 +27,10 @@ class Tacotron(nn.Module):
     arch: ArchitectureConfig
     data: DatasetConfig
     dtype: jnp.dtype = jnp.float32
+    #: GRU backend override for the CBHG BiGRUs (None = platform auto —
+    #: Pallas fused kernel on TPU; mesh-aware callers pin "xla" under GSPMD
+    #: partitioning, which cannot shard opaque custom calls).
+    gru_backend: Optional[str] = None
 
     def setup(self) -> None:
         a = self.arch
@@ -41,7 +45,8 @@ class Tacotron(nn.Module):
         self.encoder_cbhg = CBHG(
             a.encoder_bank_k, a.encoder_bank_channels, a.encoder_proj_channels,
             a.encoder_highway_layers, a.encoder_highway_units, a.encoder_gru_units,
-            dtype=self.dtype, fused_bank=a.fused_conv_bank, name="encoder_cbhg",
+            dtype=self.dtype, fused_bank=a.fused_conv_bank,
+            gru_backend=self.gru_backend, name="encoder_cbhg",
         )
         self.decoder_cell = DecoderCell(a, self.data.n_mels, dtype=self.dtype)
         # The post-CBHG's second projection returns to mel space by
@@ -51,7 +56,8 @@ class Tacotron(nn.Module):
         self.post_cbhg = CBHG(
             a.post_bank_k, a.post_bank_channels, post_proj,
             a.post_highway_layers, a.post_highway_units, a.post_gru_units,
-            dtype=self.dtype, fused_bank=a.fused_conv_bank, name="post_cbhg",
+            dtype=self.dtype, fused_bank=a.fused_conv_bank,
+            gru_backend=self.gru_backend, name="post_cbhg",
         )
         self.linear_proj = nn.Dense(self.data.n_linear, dtype=self.dtype)
 

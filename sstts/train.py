@@ -62,9 +62,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
     )
 
 
-def build_model(cfg: Config) -> Tacotron:
+def build_model(cfg: Config, mesh: Optional[Mesh] = None) -> Tacotron:
     dtype = jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
-    return Tacotron(cfg.arch, cfg.dataset, dtype=dtype)
+    # Under a multi-device GSPMD mesh the BiGRUs must stay on the XLA scan
+    # path: GSPMD cannot shard the opaque Pallas sequence kernel (same
+    # constraint as the vocoder's split_xla override in sstts.synthesize).
+    gru_backend = (
+        "xla" if mesh is not None and mesh.devices.size > 1 else None
+    )
+    return Tacotron(cfg.arch, cfg.dataset, dtype=dtype, gru_backend=gru_backend)
 
 
 def create_state(
@@ -72,7 +78,7 @@ def create_state(
 ) -> TrainState:
     """Initialize params/opt state under jit (eager init is pathologically
     slow through the device relay — one compiled program instead)."""
-    model = build_model(cfg)
+    model = build_model(cfg, mesh)
     tx = make_optimizer(cfg)
     r = cfg.arch.reduction_factor
     lt = cfg.training.text_buckets[0]
@@ -99,14 +105,9 @@ def create_state(
     return jax.jit(init_fn)(rng)
 
 
-def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
-    """Build the jitted train step.  Signature: (state, batch) -> (state, metrics).
-
-    The dropout rng derives from `state.step` (deterministic, resume-stable).
-    Features (STFT -> linear/mel) are computed inside the step on device from
-    raw waveforms (BASELINE config 5).
-    """
-    model = build_model(cfg)
+def _make_step_body(cfg: Config, mesh: Optional[Mesh] = None):
+    """The un-jitted train step body: (state, batch) -> (state, metrics)."""
+    model = build_model(cfg, mesh)
     tx = make_optimizer(cfg)
     sched = lr_schedule(cfg)
     base_rng = jax.random.PRNGKey(cfg.training.seed + 1)
@@ -152,6 +153,17 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         )
         return new_state, metrics
 
+    return train_step
+
+
+def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """Build the jitted train step.  Signature: (state, batch) -> (state, metrics).
+
+    The dropout rng derives from `state.step` (deterministic, resume-stable).
+    Features (STFT -> linear/mel) are computed inside the step on device from
+    raw waveforms (BASELINE config 5).
+    """
+    train_step = _make_step_body(cfg, mesh)
     if mesh is not None:
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
@@ -162,6 +174,120 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
             donate_argnums=(0,),
         )
     return jax.jit(train_step, donate_argnums=(0,))
+
+
+_CORPUS_KEYS = ("char_ids", "text_len", "samples", "n_frames", "loss_frames")
+
+
+def make_cached_train_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """Train step over the HBM-resident corpus (SURVEY.md §3.1 rebuild note).
+
+    Signature: (state, corpus_bucket, idx, valid) -> (state, metrics), where
+    `corpus_bucket` is one bucket's device-resident example tensors
+    (build_device_corpus), `idx` (B,) selects rows (gathered ON DEVICE —
+    no per-step host->device batch upload), and `valid` (B,) zeros the loss
+    contribution of epoch-tail fill rows.  The corpus rides as an explicit
+    argument — closing over multi-GB device arrays would bake them into the
+    program as constants.
+    """
+    train_step = _make_step_body(cfg, mesh)
+
+    def cached_step(state, corpus, idx, valid):
+        batch = {k: jnp.take(corpus[k], idx, axis=0) for k in _CORPUS_KEYS}
+        batch["loss_frames"] = jnp.where(
+            valid > 0, batch["loss_frames"], 0
+        ).astype(batch["loss_frames"].dtype)
+        return train_step(state, batch)
+
+    if mesh is not None:
+        repl = replicated_sharding(mesh)
+        data = batch_sharding(mesh)
+        return jax.jit(
+            cached_step,
+            in_shardings=(repl, repl, data, data),
+            out_shardings=(repl, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(cached_step, donate_argnums=(0,))
+
+
+def build_device_corpus(
+    cfg: Config,
+    utts,
+    mesh: Optional[Mesh] = None,
+    audio_cache=None,
+):
+    """Upload the whole bucketed corpus to device HBM once (PCM16 wire).
+
+    Returns ({bucket: {field: device array (N_b, ...)}}, {bucket: N_b}), or
+    (None, reason) when over budget / empty.  Padding follows the exact
+    static bucket shapes the host Batcher uses, so cached and host-fed
+    training see byte-identical example rows.
+    """
+    batcher = pipeline_mod.Batcher(utts, cfg, audio_cache=audio_cache)
+    shapes = pipeline_mod.frame_bucket_shapes(cfg)
+    hop = cfg.dataset.hop_len
+    pools: Dict[int, list] = {}
+    for u, ids in batcher.examples:
+        audio = batcher._audio(u)
+        nf = 1 + len(audio) // hop
+        bucket = pipeline_mod.assign_bucket(len(ids), nf, shapes)
+        if bucket < 0:
+            continue
+        pools.setdefault(bucket, []).append((ids, audio))
+    if not pools:
+        return None, "no utterance fits the configured buckets"
+    total_bytes = sum(
+        len(items)
+        * (2 * (shapes[b][1] - 1) * hop + 4 * shapes[b][0] + 16)
+        for b, items in pools.items()
+    )
+    budget = cfg.training.device_corpus_budget_mb * (1 << 20)
+    if total_bytes > budget:
+        return None, (
+            f"corpus needs {total_bytes / 1e6:.0f} MB on device, over the "
+            f"{cfg.training.device_corpus_budget_mb} MiB budget"
+        )
+    sharding = replicated_sharding(mesh) if mesh is not None else None
+    corpus: Dict[int, Dict[str, jnp.ndarray]] = {}
+    counts: Dict[int, int] = {}
+    for bucket, items in sorted(pools.items()):
+        lt, fr = shapes[bucket]
+        host = pipeline_mod.make_batch(items, lt, fr, cfg)
+        dev = {
+            k: (
+                jax.device_put(v, sharding)
+                if sharding is not None
+                else jnp.asarray(v)
+            )
+            for k, v in host.items()
+        }
+        corpus[bucket] = dev
+        counts[bucket] = len(items)
+    return (corpus, counts), None
+
+
+def cached_epoch_indices(
+    counts: Dict[int, int], batch_size: int, seed: int
+):
+    """Yield (bucket, idx (B,) int32, valid (B,) f32) covering each bucket
+    once, shuffled; remainder batches repeat rows with valid=0 (zero loss)."""
+    rng = np.random.default_rng(seed)
+    order = []
+    for bucket, n in sorted(counts.items()):
+        perm = rng.permutation(n)
+        for start in range(0, n, batch_size):
+            chunk = perm[start : start + batch_size]
+            valid = np.ones(batch_size, np.float32)
+            if len(chunk) < batch_size:
+                valid[len(chunk) :] = 0.0
+                fill = chunk[
+                    np.arange(batch_size - len(chunk)) % len(chunk)
+                ]
+                chunk = np.concatenate([chunk, fill])
+            order.append((bucket, chunk.astype(np.int32), valid))
+    rng.shuffle(order)
+    yield from order
 
 
 def make_eval_step(cfg: Config):
@@ -257,9 +383,12 @@ def load_corpus(cfg: Config):
     """Corpus dispatch.
 
     - "ljspeech" / "csv": any LJSpeech-layout corpus on disk
-      (`metadata.csv` with ``id|text|normalized text`` rows + ``wavs/``) —
-      this covers the thesis's other corpora (Blizzard-Nancy, German) once
-      exported to the same layout; set `dataset.sample_rate` accordingly.
+      (`metadata.csv` with ``id|text|normalized text`` rows + ``wavs/``).
+    - "blizzard_nancy": Blizzard-2011 Nancy layout (festival `prompts.data`
+      + `wavn/`) — SURVEY.md §2.3's thesis corpus row.
+    - "css10": CSS10 layout (`transcript.txt`), covering the thesis's
+      German corpus; set `dataset.sample_rate` (and `resample_on_load`)
+      accordingly.
     - "synthetic": the deterministic in-memory corpus (tests/benches).
     """
     if cfg.dataset.dataset == "synthetic":
@@ -268,6 +397,14 @@ def load_corpus(cfg: Config):
     if cfg.dataset.dataset in ("ljspeech", "csv"):
         utts = load_metadata(cfg.dataset)
         return train_eval_split(utts, cfg.dataset.eval_fraction)
+    if cfg.dataset.dataset in ("blizzard_nancy", "css10"):
+        from sstts.data import corpora
+
+        loader = {
+            "blizzard_nancy": corpora.load_blizzard_nancy,
+            "css10": corpora.load_css10,
+        }[cfg.dataset.dataset]
+        return train_eval_split(loader(cfg.dataset), cfg.dataset.eval_fraction)
     raise ValueError(f"unknown dataset kind: {cfg.dataset.dataset!r}")
 
 
@@ -303,9 +440,33 @@ def train(
     if start_step is not None:
         print(f"resumed from checkpoint at step {start_step}", flush=True)
 
-    train_step = make_train_step(cfg, mesh)
     eval_step = make_eval_step(cfg)
     data_shard = batch_sharding(mesh)
+
+    # HBM-resident corpus: gather batches on device instead of uploading
+    # tens of MB per step through the host link (the measured training
+    # bottleneck — BASELINE.md).  Falls back to host feeding when the
+    # corpus exceeds the budget (or device_corpus_cache="off").
+    corpus = counts = None
+    if cfg.training.device_corpus_cache != "off":
+        built, reason = build_device_corpus(
+            cfg, train_utts, mesh, audio_cache=batcher.audio_cache
+        )
+        if built is not None:
+            corpus, counts = built
+            n_ex = sum(counts.values())
+            print(
+                f"device corpus cache: {n_ex} utterances resident in HBM "
+                f"({len(counts)} buckets)", flush=True,
+            )
+        else:
+            if cfg.training.device_corpus_cache == "on":
+                raise ValueError(f"device_corpus_cache=on but {reason}")
+            print(f"device corpus cache disabled: {reason}", flush=True)
+    if corpus is not None:
+        cached_step = make_cached_train_step(cfg, mesh)
+    else:
+        train_step = make_train_step(cfg, mesh)
 
     step = int(jax.device_get(state.step))
     epoch = 0
@@ -313,13 +474,30 @@ def train(
     t_last = time.time()
     while step < max_steps:
         epoch_batches = 0
-        batch_iter = _prefetch_to_device(
-            batcher.epoch(cfg.training.seed + epoch, cfg.training.batch_size),
-            data_shard,
-        )
+        if corpus is not None:
+            batch_iter = (
+                (
+                    bucket,
+                    (corpus[bucket], jnp.asarray(idx), jnp.asarray(valid)),
+                )
+                for bucket, idx, valid in cached_epoch_indices(
+                    counts, cfg.training.batch_size,
+                    cfg.training.seed + epoch,
+                )
+            )
+        else:
+            batch_iter = _prefetch_to_device(
+                batcher.epoch(
+                    cfg.training.seed + epoch, cfg.training.batch_size
+                ),
+                data_shard,
+            )
         for _, batch in batch_iter:
             epoch_batches += 1
-            state, metrics = train_step(state, batch)
+            if corpus is not None:
+                state, metrics = cached_step(state, *batch)
+            else:
+                state, metrics = train_step(state, batch)
             step += 1
             if step % log_every == 0:
                 metrics = jax.device_get(metrics)

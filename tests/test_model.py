@@ -120,6 +120,43 @@ def test_gru_pallas_backend_matches_xla(setup):
             np.testing.assert_allclose(got, want, atol=1e-6)
 
 
+def test_gru_pallas_ad_wrapper_grads_match_xla(setup):
+    """gru_sequence_ad: Pallas forward (interpret mode) + XLA-remat backward
+    must produce the XLA scan's gradients."""
+    from sstts.ops import pallas_gru as pg
+
+    rng = np.random.default_rng(7)
+    B, T, D, H = 2, 6, 8, 8
+    xs = jnp.asarray(rng.standard_normal((B, T, D)).astype(np.float32))
+    wx = jnp.asarray(rng.standard_normal((D, 3 * H)).astype(np.float32) * 0.3)
+    wh = jnp.asarray(rng.standard_normal((H, 3 * H)).astype(np.float32) * 0.3)
+    b = jnp.asarray(rng.standard_normal((3 * H,)).astype(np.float32) * 0.1)
+    mask = jnp.asarray((rng.random((B, T)) > 0.25).astype(np.float32))
+    for m in (None, mask):
+        fwd = pg.gru_sequence_ad(xs, wx, wh, b, m, False, True)
+        np.testing.assert_allclose(
+            np.asarray(fwd),
+            np.asarray(pg.gru_sequence_xla(xs, wx, wh, b, m)),
+            atol=1e-6,
+        )
+        g_ad = jax.grad(
+            lambda wx, wh: jnp.sum(
+                pg.gru_sequence_ad(xs, wx, wh, b, m, False, True) ** 2
+            ),
+            argnums=(0, 1),
+        )(wx, wh)
+        g_ref = jax.grad(
+            lambda wx, wh: jnp.sum(
+                pg.gru_sequence_xla(xs, wx, wh, b, m) ** 2
+            ),
+            argnums=(0, 1),
+        )(wx, wh)
+        for a, r in zip(g_ad, g_ref):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(r), atol=1e-5
+            )
+
+
 def test_decoder_scan_matches_python_loop(setup):
     cfg, model, variables, ids, mel = setup
     memory, mmask = model.apply(variables, ids, train=False, method=Tacotron.encode)
@@ -199,6 +236,58 @@ def test_loss_and_gradients_finite(setup):
     # Every parameter receives gradient signal somewhere.
     nonzero = sum(float(np.abs(np.asarray(g)).sum()) > 0 for g in flat)
     assert nonzero / len(flat) > 0.9
+
+
+def test_fill_rows_contribute_zero_loss(setup):
+    """loss_frames == 0 (epoch-tail fill rows) must contribute nothing to
+    any loss term — swapping the fill row's outputs/targets for arbitrary
+    other values leaves the loss bitwise identical, and the batch loss
+    equals the batch-of-one loss over the real row."""
+    cfg, _, _, _, _ = setup
+    arch = dataclasses.replace(cfg.arch, guided_attention_weight=1.0)
+    B, F, k = 2, 16, 10
+    keys = jax.random.split(jax.random.PRNGKey(3), 8)
+    S = F // arch.reduction_factor
+
+    def outputs(key):
+        ks = jax.random.split(key, 4)
+        return {
+            "mel": jax.random.normal(ks[0], (B, F, cfg.dataset.n_mels)),
+            "linear": jax.random.normal(ks[1], (B, F, cfg.dataset.n_linear)),
+            "stop_logits": jax.random.normal(ks[2], (B, F)),
+            "alignments": jax.nn.softmax(
+                jax.random.normal(ks[3], (B, S, 8)), axis=-1
+            ),
+        }
+
+    out = outputs(keys[0])
+    mel_gt = jax.random.normal(keys[1], (B, F, cfg.dataset.n_mels))
+    lin_gt = jax.random.normal(keys[2], (B, F, cfg.dataset.n_linear))
+    frames = jnp.array([k, 0])
+    tlen = jnp.array([6, 5])
+    loss, _ = tacotron_loss(
+        out, mel_gt, lin_gt, frames, arch, cfg.dataset, text_lengths=tlen
+    )
+    # Replace the fill row's outputs and targets with different values.
+    other = outputs(keys[3])
+    out2 = {
+        key: jnp.concatenate([out[key][:1], other[key][1:]]) for key in out
+    }
+    mel2 = jnp.concatenate([mel_gt[:1], mel_gt[1:] + 7.0])
+    lin2 = jnp.concatenate([lin_gt[:1], lin_gt[1:] - 3.0])
+    loss2, _ = tacotron_loss(
+        out2, mel2, lin2, frames, arch, cfg.dataset, text_lengths=tlen
+    )
+    np.testing.assert_array_equal(np.asarray(loss), np.asarray(loss2))
+    # And it equals the batch-of-one loss over the real row.
+    one = {key: out[key][:1] for key in out}
+    loss1, _ = tacotron_loss(
+        one, mel_gt[:1], lin_gt[:1], frames[:1], arch, cfg.dataset,
+        text_lengths=tlen[:1],
+    )
+    np.testing.assert_allclose(
+        np.asarray(loss), np.asarray(loss1), rtol=1e-6
+    )
 
 
 def test_stop_targets():

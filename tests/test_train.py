@@ -121,6 +121,77 @@ def test_checkpoint_save_restore(tmp_path):
         CheckpointManager(other, tmp_path)
 
 
+def test_checkpoint_save_restore_under_mesh(tmp_path):
+    """SURVEY §5.4 'restore into same sharding': save a mesh-sharded state,
+    restore into a fresh mesh-created target, check tree equality and that
+    one further DP step runs on the restored state."""
+    from sstts.checkpoint import CheckpointManager
+
+    assert len(jax.devices()) == 8
+    cfg = _cfg(batch_size=8)
+    mesh = make_mesh()
+    state = train_mod.create_state(cfg, mesh)
+    step = train_mod.make_train_step(cfg, mesh)
+    batch = jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), _one_batch(cfg)
+    )
+    state, _ = step(state, batch)
+    mgr = CheckpointManager(cfg, tmp_path)
+    mgr.save(1, jax.device_get(state))
+    mgr.wait()
+
+    target = train_mod.create_state(cfg, mesh, seed=999)
+    got_step, restored = mgr.restore_latest(target)
+    mgr.close()
+    assert got_step == 1
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state).params),
+        jax.tree.leaves(jax.device_get(restored).params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # The restored state must be usable by the mesh step directly.
+    step2 = train_mod.make_train_step(cfg, mesh)
+    batch2 = jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), _one_batch(cfg)
+    )
+    state2, metrics = step2(restored, batch2)
+    assert np.isfinite(float(jax.device_get(metrics["loss"])))
+    assert int(jax.device_get(state2.step)) == 2
+
+
+def test_fingerprint_stable_across_non_state_knobs():
+    """Knobs that don't define the trained state must not flip the
+    checkpoint fingerprint (ADVICE r1: fused_conv_bank's docstring promises
+    flippability on an existing checkpoint, and the precompute CLI tells
+    users to add dataset.cache_dir to an existing run)."""
+    cfg = _cfg()
+    fp = cfg.fingerprint()
+    same = [
+        cfg.replace(dataset=dataclasses.replace(cfg.dataset, cache_dir="/x")),
+        cfg.replace(dataset=dataclasses.replace(cfg.dataset, dataset_dir="/y")),
+        cfg.replace(dataset=dataclasses.replace(cfg.dataset, dataset="csv")),
+        cfg.replace(arch=dataclasses.replace(cfg.arch, fused_conv_bank=True)),
+        cfg.replace(
+            arch=dataclasses.replace(cfg.arch, guided_attention_weight=1.0)
+        ),
+        cfg.replace(
+            training=dataclasses.replace(cfg.training, learning_rate=0.1)
+        ),
+    ]
+    for variant in same:
+        assert variant.fingerprint() == fp
+    # State-defining knobs must still flip it.
+    diff = [
+        cfg.replace(dataset=dataclasses.replace(cfg.dataset, n_mels=13)),
+        cfg.replace(arch=dataclasses.replace(cfg.arch, embedding_dim=64)),
+        cfg.replace(
+            arch=dataclasses.replace(cfg.arch, attention_type="local_luong")
+        ),
+    ]
+    for variant in diff:
+        assert variant.fingerprint() != fp
+
+
 def test_train_driver_end_to_end(tmp_path):
     """Few steps of the full driver: data -> step -> checkpoint -> resume."""
     cfg = _cfg()
@@ -133,6 +204,72 @@ def test_train_driver_end_to_end(tmp_path):
     assert int(jax.device_get(state.step)) == 6
     assert (tmp_path / "metrics.jsonl").exists()
     # Resume continues from the saved step.
+    state2 = train_mod.train(cfg, workdir=tmp_path, max_steps=8, log_every=2)
+    assert int(jax.device_get(state2.step)) == 8
+
+
+def test_device_corpus_cached_step_matches_host_step():
+    """On-device batch gather (HBM-resident corpus) must reproduce the
+    host-fed train step exactly, and valid=0 rows must zero the loss."""
+    cfg = _cfg(batch_size=2)
+    utts = make_utterances(6, cfg.dataset, min_words=1, max_words=2)
+    built, reason = train_mod.build_device_corpus(cfg, utts)
+    assert built is not None, reason
+    corpus, counts = built
+    bucket = next(iter(sorted(counts)))
+    assert counts[bucket] >= 2
+
+    idx = np.array([0, 1], np.int32)
+    valid = np.ones(2, np.float32)
+    state = train_mod.create_state(cfg)
+    cached = train_mod.make_cached_train_step(cfg)
+    s1, m1 = cached(state, corpus[bucket], idx, valid)
+
+    host_batch = {
+        k: np.asarray(jax.device_get(corpus[bucket][k]))[idx]
+        for k in train_mod._CORPUS_KEYS
+    }
+    state2 = train_mod.create_state(cfg)
+    s2, m2 = train_mod.make_train_step(cfg)(
+        state2, jax.tree.map(jnp.asarray, host_batch)
+    )
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=1e-6
+    )
+
+    # A fill row (valid=0, duplicated index) must contribute zero loss:
+    # same loss as masking it out via loss_frames on the host path.
+    idx_fill = np.array([0, 0], np.int32)
+    state3 = train_mod.create_state(cfg)
+    _, m3 = train_mod.make_cached_train_step(cfg)(
+        state3, corpus[bucket], idx_fill, np.array([1.0, 0.0], np.float32)
+    )
+    host_fill = {
+        k: np.asarray(jax.device_get(corpus[bucket][k]))[idx_fill]
+        for k in train_mod._CORPUS_KEYS
+    }
+    host_fill["loss_frames"] = host_fill["loss_frames"].copy()
+    host_fill["loss_frames"][1] = 0
+    state4 = train_mod.create_state(cfg)
+    _, m4 = train_mod.make_train_step(cfg)(
+        state4, jax.tree.map(jnp.asarray, host_fill)
+    )
+    np.testing.assert_allclose(
+        float(m3["loss"]), float(m4["loss"]), rtol=1e-6
+    )
+
+
+def test_train_driver_device_corpus_cache(tmp_path):
+    """Full driver on the HBM-resident corpus path, including resume."""
+    cfg = _cfg()
+    cfg = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, batch_size=2, checkpoint_every=5, summary_every=2,
+            device_corpus_cache="on",
+        )
+    )
+    state = train_mod.train(cfg, workdir=tmp_path, max_steps=6, log_every=2)
+    assert int(jax.device_get(state.step)) == 6
     state2 = train_mod.train(cfg, workdir=tmp_path, max_steps=8, log_every=2)
     assert int(jax.device_get(state2.step)) == 8
 
