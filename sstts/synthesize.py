@@ -64,11 +64,14 @@ class Synthesizer:
         if (
             mesh is not None
             and partition == "gspmd"
-            and cfg.inference.griffin_lim_iter_impl is None
+            and cfg.inference.griffin_lim_iter_impl in (None, "auto")
         ):
             # GSPMD partitions the whole synthesis program over the mesh but
             # cannot shard opaque custom calls, so the vocoder must stay
             # Pallas-free: split iteration + XLA banded reprojection.
+            # "auto" would resolve to the fused Pallas kernel on TPU, so it
+            # gets the same mesh-safe override; only an explicit
+            # "fused"/"split" choice bypasses it.
             import dataclasses as _dc
 
             cfg = cfg.replace(
@@ -82,7 +85,19 @@ class Synthesizer:
         dtype = (
             jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
         )
-        self.model = Tacotron(cfg.arch, cfg.dataset, dtype=dtype)
+        # GSPMD cannot shard opaque Pallas custom calls, so the BiGRUs pin
+        # the XLA scan backend under a multi-device gspmd mesh (shard_map
+        # runs the per-shard program unchanged, Pallas included).
+        gru_backend = (
+            "xla"
+            if mesh is not None
+            and partition == "gspmd"
+            and mesh.devices.size > 1
+            else None
+        )
+        self.model = Tacotron(
+            cfg.arch, cfg.dataset, dtype=dtype, gru_backend=gru_backend
+        )
         # Pin the variables on device once: host-side (numpy) params would be
         # re-uploaded on EVERY call (10s of MB through the host link).
         variables = {"params": params, "batch_stats": batch_stats}
@@ -95,6 +110,7 @@ class Synthesizer:
         else:
             self.variables = jax.device_put(variables)
         self._rng = jax.random.PRNGKey(seed)
+        self._decoder_impl = self._resolve_decoder_impl()
         self._sm_cache: Dict[Any, Any] = {}
         self._lite_jit = None
         if self.partition == "shard_map":
@@ -177,6 +193,38 @@ class Synthesizer:
             )
         return self._lite_jit(variables, char_ids, rng, max_steps=max_steps)
 
+    def _resolve_decoder_impl(self) -> str:
+        """Resolve the AR decoder implementation for this Synthesizer.
+
+        "auto": the fused Pallas whole-scan kernel on TPU for Bahdanau
+        attention (sstts.ops.pallas_decoder); the XLA scan on other
+        backends, for the local-Luong variant, and under multi-device GSPMD
+        partitioning (which cannot shard opaque custom calls)."""
+        from sstts.ops.pallas_decoder import DECODER_IMPL
+
+        impl = self.cfg.inference.decoder_impl or DECODER_IMPL
+        if impl not in ("auto", "xla", "fused"):
+            raise ValueError(
+                f"unknown decoder_impl {impl!r}; expected 'auto', 'xla', "
+                "'fused'"
+            )
+        if impl == "fused" and self.cfg.arch.attention_type != "bahdanau":
+            raise ValueError(
+                "decoder_impl='fused' supports only Bahdanau attention; "
+                f"config uses {self.cfg.arch.attention_type!r}"
+            )
+        if impl == "auto":
+            if (
+                self.mesh is not None
+                and self.partition == "gspmd"
+                and self.mesh.devices.size > 1
+            ):
+                return "xla"
+            if self.cfg.arch.attention_type != "bahdanau":
+                return "xla"
+            return "fused" if jax.default_backend() == "tpu" else "xla"
+        return impl
+
     # The jitted pipeline -------------------------------------------------- #
 
     def _prepare_fn(
@@ -188,11 +236,27 @@ class Synthesizer:
             variables, char_ids, False, method=Tacotron.encode,
             rngs={"dropout": rng},
         )
-        dec = self.model.apply(
-            variables, memory, mmask, max_steps,
-            cfg.inference.stop_threshold, cfg.inference.min_decoder_steps,
-            method=Tacotron.decode_infer, rngs={"dropout": rng},
-        )
+        if self._decoder_impl == "fused":
+            from sstts.ops.pallas_decoder import fused_decode
+
+            dec = fused_decode(
+                variables["params"]["decoder_cell"], memory, mmask,
+                max_steps,
+                n_mels=cfg.dataset.n_mels,
+                reduction=cfg.arch.reduction_factor,
+                stop_threshold=cfg.inference.stop_threshold,
+                min_steps=cfg.inference.min_decoder_steps,
+                dropout_rate=cfg.arch.prenet_dropout,
+                apply_dropout=cfg.arch.prenet_dropout_at_inference,
+                seed=jax.random.randint(rng, (), 0, 2**31 - 1),
+            )
+        else:
+            dec = self.model.apply(
+                variables, memory, mmask, max_steps,
+                cfg.inference.stop_threshold,
+                cfg.inference.min_decoder_steps,
+                method=Tacotron.decode_infer, rngs={"dropout": rng},
+            )
         mel = dec["mel"]
         total_frames = mel.shape[1]
         frame_mask = frame_mask_from_lengths(dec["n_frames"], total_frames)
@@ -443,13 +507,15 @@ class Synthesizer:
         chunks = split_sentences(text, max_chars)
         if not chunks:
             return np.zeros(0, np.float32)
-        # Bucket the batch dimension (next power of two; under a mesh, at
-        # least the data-axis size so the shard divides) — every distinct
-        # chunk count would otherwise compile a fresh whole-pipeline program.
+        # Bucket the batch dimension (next power of two; under a mesh,
+        # rounded up to a multiple of the data-axis size so the P("data")
+        # batch sharding divides even for non-power-of-two meshes) — every
+        # distinct chunk count would otherwise compile a fresh
+        # whole-pipeline program.
         n = len(chunks)
         bucket = 1 << (n - 1).bit_length()
         if self.mesh is not None:
-            bucket = max(bucket, self.mesh.shape["data"])
+            bucket = _round_up(bucket, self.mesh.shape["data"])
         wavs = self.synthesize_batch(chunks + [""] * (bucket - n), **kw)[:n]
         gap = np.zeros(int(ds.sample_rate * gap_ms / 1000.0), np.float32)
         fade = int(ds.sample_rate * fade_ms / 1000.0)

@@ -292,3 +292,25 @@ def test_synthesize_longform_on_mesh(synth):
         "one sentence. two sentences! three now.", max_chars=15
     )
     assert wav.ndim == 1 and len(wav) > 0 and np.isfinite(wav).all()
+
+
+def test_decoder_impl_resolution(synth):
+    """decoder_impl: auto resolves to the XLA scan off-TPU; 'fused' is
+    rejected for the local-Luong attention variant; unknown values raise."""
+    cfg, _ = synth
+    state = jax.device_get(create_state(cfg))
+    s = Synthesizer(cfg, state.params, state.batch_stats)
+    assert s._decoder_impl == "xla"  # CPU backend
+
+    bad = cfg.replace(
+        inference=dataclasses.replace(cfg.inference, decoder_impl="nope")
+    )
+    with pytest.raises(ValueError, match="decoder_impl"):
+        Synthesizer(bad, state.params, state.batch_stats)
+
+    luong = cfg.replace(
+        arch=dataclasses.replace(cfg.arch, attention_type="local_luong"),
+        inference=dataclasses.replace(cfg.inference, decoder_impl="fused"),
+    )
+    with pytest.raises(ValueError, match="Bahdanau"):
+        Synthesizer(luong, state.params, state.batch_stats)
