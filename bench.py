@@ -66,9 +66,10 @@ def main() -> None:
     # a budget-expired probe pass yields a near-optimal configuration.
     # Stream depth is a host-side knob (no compile), probed per candidate.
     queue = [
-        (8, 4, "fused"),
-        (4, 4, "fused"),
-        (8, 4, "split"),
+        (8, 4, "fused", "pcm16"),
+        (8, 4, "fused", "mulaw8"),
+        (4, 4, "fused", "pcm16"),
+        (8, 4, "split", "pcm16"),
     ]
     depths = (2, 3)
     probe_budget_s = 150.0
@@ -82,11 +83,11 @@ def main() -> None:
     best = None
     low_chunk_queued = False
     while queue:
-        chunks, threads, gl_impl = queue.pop(0)
+        chunks, threads, gl_impl, wire = queue.pop(0)
         c = cfg.replace(
             inference=dataclasses.replace(
                 cfg.inference, pipeline_chunks=chunks, fetch_threads=threads,
-                griffin_lim_iter_impl=gl_impl,
+                griffin_lim_iter_impl=gl_impl, wire_format=wire,
             )
         )
         # A candidate that fails to compile or probe (flaky link, degraded
@@ -117,7 +118,9 @@ def main() -> None:
                     )
                     continue
                 if best is None or probe < best[0]:
-                    best = (probe, synth, depth, chunks, threads, gl_impl)
+                    best = (
+                        probe, synth, depth, chunks, threads, gl_impl, wire
+                    )
         except Exception as e:
             print(
                 f"[warn] candidate chunks={chunks} gl={gl_impl} failed: "
@@ -129,14 +132,14 @@ def main() -> None:
             and best is not None
             and best[0] > degraded_batch_s
         ):
-            queue.insert(0, (2, 4, "fused"))
+            queue.insert(0, (2, 4, "fused", "pcm16"))
             low_chunk_queued = True
         if time.perf_counter() - t_start > probe_budget_s and best is not None:
             break
     if best is None:
         raise RuntimeError("every serving candidate failed to probe")
 
-    probe_s, synth, depth, chunks, threads, gl_impl = best
+    probe_s, synth, depth, chunks, threads, gl_impl, wire = best
     # Shrink the full measurement when the link is so degraded that three
     # 8-batch passes would blow the driver's time budget.
     repeats = 3 if probe_s * n_batches * 3 < 180.0 else 1
@@ -169,7 +172,7 @@ def main() -> None:
                 "unit": "x_realtime_per_chip_b32",
                 "vs_baseline": round(rtf / 50.0, 3),
                 "config": f"chunks={chunks},threads={threads},"
-                          f"depth={depth},gl={gl_impl}",
+                          f"depth={depth},gl={gl_impl},wire={wire}",
             }
         )
     )

@@ -51,7 +51,7 @@ def main() -> None:
     prep = synth._prepare(synth.variables, ids, rng, max_steps=ms)
     force(prep["linear"])
     out = synth._vocode(prep["linear"])
-    force(out["wav_i16"])
+    force(out["wav_wire"])
 
     for trial in range(3):
         t0 = time.perf_counter()
@@ -61,7 +61,7 @@ def main() -> None:
 
         t0 = time.perf_counter()
         out = synth._vocode(prep["linear"])
-        force(out["wav_i16"])
+        force(out["wav_wire"])
         t_voc = time.perf_counter() - t0
         print(f"trial {trial}: prepare {t_prep*1e3:7.1f} ms   vocode(GL60) {t_voc*1e3:7.1f} ms")
 

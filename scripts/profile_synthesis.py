@@ -59,18 +59,18 @@ def main() -> None:
 
     # Warm-up / compile.
     out = synth._program(synth.variables, ids, rng, max_steps=ms)
-    force(out["wav_i16"])
+    force(out["wav_wire"])
 
     for trial in range(3):
         t0 = time.perf_counter()
         out = synth._program(synth.variables, ids, rng, max_steps=ms)
-        force(out["wav_i16"])
+        force(out["wav_wire"])
         t_compute = time.perf_counter() - t0
 
         t0 = time.perf_counter()
-        host = jax.device_get({k: out[k] for k in ("wav_i16", "n_samples")})
+        host = jax.device_get({k: out[k] for k in ("wav_wire", "n_samples")})
         t_fetch = time.perf_counter() - t0
-        nbytes = host["wav_i16"].nbytes
+        nbytes = host["wav_wire"].nbytes
         print(
             f"trial {trial}: compute {t_compute*1e3:8.1f} ms   "
             f"fetch {t_fetch*1e3:8.1f} ms ({nbytes/2**20:.1f} MiB, "

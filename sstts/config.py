@@ -232,6 +232,12 @@ class InferenceConfig:
     pipeline_chunks: int = 1
     #: Concurrent host-fetch threads when pipeline_chunks > 1.
     fetch_threads: int = 4
+    #: Device->host wire codec for synthesized audio: "pcm16" (int16,
+    #: lossless w.r.t. the written WAV) or "mulaw8" (uint8 mu-law
+    #: companding, half the bytes — for link-bound serving; ~38 dB SNR,
+    #: above the Griffin-Lim quality floor).  Never affects `full_output`
+    #: float32 audio.
+    wire_format: str = "pcm16"
     output_dir: str = "synthesized"
 
 

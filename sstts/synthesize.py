@@ -61,6 +61,11 @@ class Synthesizer:
         independent across shards)."""
         if partition not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown partition mode: {partition!r}")
+        if cfg.inference.wire_format not in ("pcm16", "mulaw8"):
+            raise ValueError(
+                f"unknown wire_format {cfg.inference.wire_format!r}; "
+                "expected 'pcm16' or 'mulaw8'"
+            )
         if (
             mesh is not None
             and partition == "gspmd"
@@ -128,7 +133,7 @@ class Synthesizer:
         self._vocode_chunk = jax.jit(
             lambda linear, start, size: self._vocode_fn(
                 jax.lax.dynamic_slice_in_dim(linear, start, size, axis=0)
-            )["wav_i16"],
+            )["wav_wire"],
             static_argnames=("size",),
         )
 
@@ -141,7 +146,7 @@ class Synthesizer:
         kernels) on its batch shard; there are no cross-device collectives
         because every stage is batch-parallel.  One compiled program per
         (max_steps, lite), cached; `lite` returns only the wire outputs
-        (wav_i16, n_samples) so nothing larger is materialized."""
+        (wav_wire, n_samples) so nothing larger is materialized."""
         key = (max_steps, lite)
         if key not in self._sm_cache:
             try:
@@ -154,7 +159,7 @@ class Synthesizer:
                 rng = jax.random.fold_in(rng, jax.lax.axis_index("data"))
                 out = self._synthesize_fn(variables, ids, rng, max_steps)
                 if lite:
-                    return {k: out[k] for k in ("wav_i16", "n_samples")}
+                    return {k: out[k] for k in ("wav_wire", "n_samples")}
                 return out
 
             # check_vma=False (check_rep in older jax): the decoder scan
@@ -176,7 +181,7 @@ class Synthesizer:
         return self._sm_cache[key](variables, char_ids, rng)
 
     def _mesh_lite_program(self, variables, char_ids, rng, max_steps: int):
-        """Mesh serving program returning only the wire outputs (wav_i16,
+        """Mesh serving program returning only the wire outputs (wav_wire,
         n_samples) — the f32 waveform, spectra, and alignments are dead code
         XLA eliminates, instead of device allocations per streamed batch."""
         if self.partition == "shard_map":
@@ -187,7 +192,7 @@ class Synthesizer:
             self._lite_jit = jax.jit(
                 lambda v, i, r, max_steps: {
                     k: self._synthesize_fn(v, i, r, max_steps)[k]
-                    for k in ("wav_i16", "n_samples")
+                    for k in ("wav_wire", "n_samples")
                 },
                 static_argnames=("max_steps",),
             )
@@ -279,12 +284,18 @@ class Synthesizer:
         cfg = self.cfg
         length = (linear.shape[1] - 1) * cfg.dataset.hop_len
         wav = spectrogram_to_wav(linear, cfg, length)
-        # Quantize to PCM16 ON DEVICE: the host transfer halves, and PCM16 is
-        # the terminal format anyway (lossless w.r.t. the written WAV).
-        wav_i16 = jnp.round(
-            jnp.clip(wav, -1.0, 1.0) * 32767.0
-        ).astype(jnp.int16)
-        return {"wav": wav, "wav_i16": wav_i16}
+        # Encode the wire format ON DEVICE: PCM16 halves the host transfer
+        # vs f32 and is the terminal format anyway (lossless w.r.t. the
+        # written WAV); mu-law 8-bit halves it again for link-bound serving.
+        if cfg.inference.wire_format == "mulaw8":
+            from sstts.dsp.ops import mulaw_encode_u8
+
+            wire = mulaw_encode_u8(wav)
+        else:
+            wire = jnp.round(
+                jnp.clip(wav, -1.0, 1.0) * 32767.0
+            ).astype(jnp.int16)
+        return {"wav": wav, "wav_wire": wire}
 
     def _synthesize_fn(
         self, variables, char_ids: jnp.ndarray, rng, max_steps: int
@@ -345,7 +356,7 @@ class Synthesizer:
             out = self._mesh_lite_program(
                 self.variables, self._put_ids(ids), rng, max_steps
             )
-            return [out["wav_i16"]], out["n_samples"]
+            return [out["wav_wire"]], out["n_samples"]
         prep = self._prepare(
             self.variables, self._put_ids(ids), rng, max_steps=max_steps
         )
@@ -357,11 +368,17 @@ class Synthesizer:
         ]
         return outs, prep["n_samples"]
 
-    @staticmethod
-    def _trim(wav_i16: np.ndarray, n_samples: np.ndarray) -> List[np.ndarray]:
+    def _trim(self, wire: np.ndarray, n_samples: np.ndarray) -> List[np.ndarray]:
+        if self.cfg.inference.wire_format == "mulaw8":
+            from sstts.dsp.ops import mulaw_decode_host
+
+            return [
+                mulaw_decode_host(wire[i, : int(n_samples[i])])
+                for i in range(wire.shape[0])
+            ]
         return [
-            wav_i16[i, : int(n_samples[i])].astype(np.float32) / 32767.0
-            for i in range(wav_i16.shape[0])
+            wire[i, : int(n_samples[i])].astype(np.float32) / 32767.0
+            for i in range(wire.shape[0])
         ]
 
     def synthesize_stream(
@@ -460,12 +477,10 @@ class Synthesizer:
             # linear/mel tensors are an order of magnitude larger, and f32
             # audio would be 2x the bytes for no fidelity gain: the terminal
             # format is PCM16).
-            out = jax.device_get({k: out[k] for k in ("wav_i16", "n_samples")})
-            return [
-                out["wav_i16"][i, : int(out["n_samples"][i])].astype(np.float32)
-                / 32767.0
-                for i in range(len(texts))
-            ]
+            out = jax.device_get(
+                {k: out[k] for k in ("wav_wire", "n_samples")}
+            )
+            return self._trim(out["wav_wire"], out["n_samples"])
         if fetch is not None:
             missing = {"wav", "n_samples"} - set(fetch)
             if missing:

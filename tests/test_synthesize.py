@@ -314,3 +314,56 @@ def test_decoder_impl_resolution(synth):
     )
     with pytest.raises(ValueError, match="Bahdanau"):
         Synthesizer(luong, state.params, state.batch_stats)
+
+
+def test_mulaw_wire_roundtrip():
+    """Device mu-law encode -> host decode: ~38 dB SNR on speech-scale audio."""
+    import jax.numpy as jnp
+
+    from sstts.dsp.ops import mulaw_decode_host, mulaw_encode_u8
+
+    rng = np.random.default_rng(0)
+    t = np.arange(8000) / 8000.0
+    y = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 730 * t)
+        + 0.02 * rng.standard_normal(8000)
+    ).astype(np.float32)
+    y = np.clip(y, -1, 1)
+    u8 = np.asarray(mulaw_encode_u8(jnp.asarray(y)))
+    assert u8.dtype == np.uint8
+    back = mulaw_decode_host(u8)
+    err = back - y
+    snr = 10 * np.log10(np.mean(y**2) / np.mean(err**2))
+    assert snr > 32.0, snr
+
+
+def test_mulaw_wire_format_synthesis(synth):
+    """wire_format='mulaw8' produces audio close to the PCM16 path (same
+    params/seed), at half the wire bytes."""
+    cfg, s16 = synth
+    cfg8 = cfg.replace(
+        inference=dataclasses.replace(cfg.inference, wire_format="mulaw8")
+    )
+    state = jax.device_get(create_state(cfg))
+    s16 = Synthesizer(cfg, state.params, state.batch_stats, seed=7)
+    s8 = Synthesizer(cfg8, state.params, state.batch_stats, seed=7)
+    w16 = s16.synthesize_batch(["hello world", "abc"])
+    w8 = s8.synthesize_batch(["hello world", "abc"])
+    assert all(len(a) == len(b) for a, b in zip(w16, w8))
+    for a, b in zip(w16, w8):
+        if len(a) == 0:
+            continue
+        scale = max(float(np.abs(a).max()), 1e-3)
+        assert np.abs(a - b).max() / scale < 0.1
+
+    with pytest.raises(ValueError, match="wire_format"):
+        Synthesizer(
+            cfg.replace(
+                inference=dataclasses.replace(
+                    cfg.inference, wire_format="opus"
+                )
+            ),
+            state.params,
+            state.batch_stats,
+        )
