@@ -143,27 +143,26 @@ def main() -> None:
     # Shrink the full measurement when the link is so degraded that three
     # 8-batch passes would blow the driver's time budget.
     repeats = 3 if probe_s * n_batches * 3 < 180.0 else 1
-    times = []
     n_expected = n_batches * batch
-    n_out = n_expected
+    frames = cfg.inference.max_decoder_steps * cfg.arch.reduction_factor
+    audio_per_wav = (frames - 1) * cfg.dataset.hop_len / cfg.dataset.sample_rate
+    # Each repeat's RTF pairs ITS OWN wall with ITS OWN waveform count, so
+    # a partial-output repeat cannot mix a short wall with full audio.
+    rtfs = []
     for _ in range(repeats):
         t0 = time.perf_counter()
         n_out = 0
         for out in synth.synthesize_stream([texts] * n_batches, depth=depth):
             n_out += len(out)
-        times.append(time.perf_counter() - t0)
+        wall = time.perf_counter() - t0
         if n_out != n_expected:
             print(
-                f"[warn] measurement returned {n_out}/{n_expected} "
-                "waveforms; RTF scaled to actual output",
+                f"[warn] measurement repeat returned {n_out}/{n_expected} "
+                "waveforms; its RTF reflects actual output",
                 flush=True,
             )
-    wall = float(np.median(times)) / n_batches
-    frames = cfg.inference.max_decoder_steps * cfg.arch.reduction_factor
-    audio_seconds = (
-        batch * (frames - 1) * cfg.dataset.hop_len / cfg.dataset.sample_rate
-    ) * (n_out / n_expected)
-    rtf = audio_seconds / wall
+        rtfs.append(n_out * audio_per_wav / wall)
+    rtf = float(np.median(rtfs))
     print(
         json.dumps(
             {

@@ -80,6 +80,9 @@ def load_css10(cfg: DatasetConfig) -> List[Utterance]:
         norm = text_mod.normalize(raw)
         if not _keep(cfg, norm):
             continue
-        uid = Path(rel).stem
+        # uid keeps the directory part: CSS10 numbers files per book
+        # ("book_a/1.wav", "book_b/1.wav"), so a bare stem would collide
+        # in the uid-keyed features cache and train/eval split.
+        uid = str(Path(rel).with_suffix("")).replace("/", "_")
         utts.append(Utterance(uid, str(root / rel), norm))
     return utts

@@ -164,6 +164,10 @@ class Batcher:
             self.examples.append((u, ids))
         self.skipped = skipped
 
+    def audio(self, u: Utterance) -> np.ndarray:
+        """Load (or fetch from cache) one utterance's trimmed waveform."""
+        return self._audio(u)
+
     def _audio(self, u: Utterance) -> np.ndarray:
         if self._cache_all and u.uid in self._audio_cache:
             return self._audio_cache[u.uid]

@@ -86,9 +86,17 @@ def weights_from_tree(params: Any) -> DecoderWeights:
     """Extract the decoder cell's parameter arrays from a Tacotron param tree.
 
     `params` is `variables["params"]["decoder_cell"]` (flax layout created by
-    sstts.model.decoder.DecoderCell.setup).
+    sstts.model.decoder.DecoderCell.setup).  Raises if the tree carries
+    layers the kernel does not implement (see `supports_arch`).
     """
     p = params
+    extra = {k for k in p if k.startswith("dec_gru")} - {"dec_gru0", "dec_gru1"}
+    extra |= {k for k in p["prenet"] if k.startswith("fc")} - {"fc0", "fc1"}
+    if extra:
+        raise ValueError(
+            f"fused decoder supports 2 decoder GRUs and a 2-layer prenet; "
+            f"param tree has extra layers {sorted(extra)} — use the XLA scan"
+        )
 
     def row(x):  # biases/vectors as (1, N) — TPU wants >= 2D operands
         return jnp.asarray(x).reshape(1, -1)
@@ -337,11 +345,28 @@ def fused_decode(
     }
 
 
+def supports_arch(arch) -> bool:
+    """True iff the fused kernel implements this architecture exactly.
+
+    The kernel hard-codes the reference topology: Bahdanau attention, a
+    two-layer pre-net, and exactly two residual decoder GRUs.  Any other
+    shape must stay on the XLA scan — `weights_from_tree` would otherwise
+    silently drop layers (e.g. dec_gru2) whose shapes happen to line up.
+    """
+    return (
+        arch.attention_type == "bahdanau"
+        and arch.decoder_gru_layers == 2
+        and len(arch.prenet_units) == 2
+    )
+
+
 def vmem_estimate_bytes(
     B: int, T: int, Dm: int, A: int, n_params: int
 ) -> int:
     """Rough VMEM footprint: weights (bf16) + memory/keys (bf16) + the f32
-    (B, T, A) attention temporary + outputs/scratch."""
+    (B, T, A) attention temporary + outputs/scratch.  Used by callers
+    (sstts.synthesize) to fall back to the XLA scan when a workload would
+    not fit on-core."""
     return (
         2 * n_params
         + 2 * B * T * (Dm + A)

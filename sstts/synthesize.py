@@ -115,6 +115,10 @@ class Synthesizer:
         else:
             self.variables = jax.device_put(variables)
         self._rng = jax.random.PRNGKey(seed)
+        self._decoder_param_count = sum(
+            int(np.prod(np.shape(x)))
+            for x in jax.tree.leaves(params.get("decoder_cell", {}))
+        )
         self._decoder_impl = self._resolve_decoder_impl()
         self._sm_cache: Dict[Any, Any] = {}
         self._lite_jit = None
@@ -201,11 +205,12 @@ class Synthesizer:
     def _resolve_decoder_impl(self) -> str:
         """Resolve the AR decoder implementation for this Synthesizer.
 
-        "auto": the fused Pallas whole-scan kernel on TPU for Bahdanau
-        attention (sstts.ops.pallas_decoder); the XLA scan on other
-        backends, for the local-Luong variant, and under multi-device GSPMD
+        "auto": the fused Pallas whole-scan kernel on TPU for the exact
+        topology it implements (Bahdanau attention, 2-layer prenet, 2
+        decoder GRUs — pallas_decoder.supports_arch); the XLA scan on
+        other backends, other topologies, and under multi-device GSPMD
         partitioning (which cannot shard opaque custom calls)."""
-        from sstts.ops.pallas_decoder import DECODER_IMPL
+        from sstts.ops.pallas_decoder import DECODER_IMPL, supports_arch
 
         impl = self.cfg.inference.decoder_impl or DECODER_IMPL
         if impl not in ("auto", "xla", "fused"):
@@ -213,10 +218,11 @@ class Synthesizer:
                 f"unknown decoder_impl {impl!r}; expected 'auto', 'xla', "
                 "'fused'"
             )
-        if impl == "fused" and self.cfg.arch.attention_type != "bahdanau":
+        if impl == "fused" and not supports_arch(self.cfg.arch):
             raise ValueError(
-                "decoder_impl='fused' supports only Bahdanau attention; "
-                f"config uses {self.cfg.arch.attention_type!r}"
+                "decoder_impl='fused' implements only Bahdanau attention "
+                "with a 2-layer prenet and 2 decoder GRUs; this config "
+                "needs the XLA scan"
             )
         if impl == "auto":
             if (
@@ -225,7 +231,7 @@ class Synthesizer:
                 and self.mesh.devices.size > 1
             ):
                 return "xla"
-            if self.cfg.arch.attention_type != "bahdanau":
+            if not supports_arch(self.cfg.arch):
                 return "xla"
             return "fused" if jax.default_backend() == "tpu" else "xla"
         return impl
@@ -241,7 +247,20 @@ class Synthesizer:
             variables, char_ids, False, method=Tacotron.encode,
             rngs={"dropout": rng},
         )
-        if self._decoder_impl == "fused":
+        use_fused = self._decoder_impl == "fused"
+        if use_fused:
+            # Per-shape VMEM gate: the kernel keeps weights + memory/keys
+            # + the (B, T, A) attention temporary on-core; workloads past
+            # ~3/4 of a v5e core's 16 MiB VMEM fall back to the XLA scan
+            # for this shape bucket.
+            from sstts.ops.pallas_decoder import vmem_estimate_bytes
+
+            B, T, Dm = memory.shape
+            est = vmem_estimate_bytes(
+                B, T, Dm, cfg.arch.attention_units, self._decoder_param_count
+            )
+            use_fused = est <= 12 * 1024 * 1024
+        if use_fused:
             from sstts.ops.pallas_decoder import fused_decode
 
             dec = fused_decode(

@@ -216,52 +216,62 @@ def build_device_corpus(
     utts,
     mesh: Optional[Mesh] = None,
     audio_cache=None,
+    batcher=None,
 ):
     """Upload the whole bucketed corpus to device HBM once (PCM16 wire).
 
     Returns ({bucket: {field: device array (N_b, ...)}}, {bucket: N_b}), or
     (None, reason) when over budget / empty.  Padding follows the exact
-    static bucket shapes the host Batcher uses, so cached and host-fed
-    training see byte-identical example rows.
+    static bucket shapes the host Batcher uses (each utterance goes through
+    `make_batch` individually), so cached and host-fed training see
+    byte-identical example rows.
+
+    Host-memory discipline: each utterance's f32 waveform is converted to
+    its padded int16 row IMMEDIATELY (never holding the decoded corpus in
+    f32 — the Batcher's lazy-loading rationale), the running total is
+    checked against the budget as rows accumulate (early abort, before the
+    whole corpus is resident), and per-row buffers are released field by
+    field as the bucket arrays are assembled.
     """
-    batcher = pipeline_mod.Batcher(utts, cfg, audio_cache=audio_cache)
+    if batcher is None:
+        batcher = pipeline_mod.Batcher(utts, cfg, audio_cache=audio_cache)
     shapes = pipeline_mod.frame_bucket_shapes(cfg)
     hop = cfg.dataset.hop_len
-    pools: Dict[int, list] = {}
+    budget = cfg.training.device_corpus_budget_mb * (1 << 20)
+    rows: Dict[int, list] = {}
+    total_bytes = 0
     for u, ids in batcher.examples:
-        audio = batcher._audio(u)
+        audio = batcher.audio(u)
         nf = 1 + len(audio) // hop
         bucket = pipeline_mod.assign_bucket(len(ids), nf, shapes)
         if bucket < 0:
             continue
-        pools.setdefault(bucket, []).append((ids, audio))
-    if not pools:
+        lt, fr = shapes[bucket]
+        row = pipeline_mod.make_batch([(ids, audio)], lt, fr, cfg)
+        total_bytes += sum(v.nbytes for v in row.values())
+        if total_bytes > budget:
+            return None, (
+                f"corpus exceeds the "
+                f"{cfg.training.device_corpus_budget_mb} MiB device budget "
+                f"(aborted after {sum(map(len, rows.values())) + 1} "
+                "utterances)"
+            )
+        rows.setdefault(bucket, []).append(row)
+    if not rows:
         return None, "no utterance fits the configured buckets"
-    total_bytes = sum(
-        len(items)
-        * (2 * (shapes[b][1] - 1) * hop + 4 * shapes[b][0] + 16)
-        for b, items in pools.items()
-    )
-    budget = cfg.training.device_corpus_budget_mb * (1 << 20)
-    if total_bytes > budget:
-        return None, (
-            f"corpus needs {total_bytes / 1e6:.0f} MB on device, over the "
-            f"{cfg.training.device_corpus_budget_mb} MiB budget"
-        )
     sharding = replicated_sharding(mesh) if mesh is not None else None
     corpus: Dict[int, Dict[str, jnp.ndarray]] = {}
     counts: Dict[int, int] = {}
-    for bucket, items in sorted(pools.items()):
-        lt, fr = shapes[bucket]
-        host = pipeline_mod.make_batch(items, lt, fr, cfg)
-        dev = {
-            k: (
-                jax.device_put(v, sharding)
+    for bucket, items in sorted(rows.items()):
+        dev = {}
+        for k in list(items[0].keys()):
+            host = np.concatenate([r.pop(k) for r in items], axis=0)
+            dev[k] = (
+                jax.device_put(host, sharding)
                 if sharding is not None
-                else jnp.asarray(v)
+                else jnp.asarray(host)
             )
-            for k, v in host.items()
-        }
+            del host
         corpus[bucket] = dev
         counts[bucket] = len(items)
     return (corpus, counts), None
@@ -290,9 +300,12 @@ def cached_epoch_indices(
     yield from order
 
 
-def make_eval_step(cfg: Config):
-    """Teacher-forced eval (no grads, running BN stats, no dropout)."""
-    model = build_model(cfg)
+def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """Teacher-forced eval (no grads, running BN stats, no dropout).
+
+    `mesh` only pins the XLA GRU backend under multi-device GSPMD (same
+    constraint as make_train_step); the step itself is a plain jit."""
+    model = build_model(cfg, mesh)
 
     def eval_step(state: TrainState, batch):
         samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
@@ -440,7 +453,7 @@ def train(
     if start_step is not None:
         print(f"resumed from checkpoint at step {start_step}", flush=True)
 
-    eval_step = make_eval_step(cfg)
+    eval_step = make_eval_step(cfg, mesh)
     data_shard = batch_sharding(mesh)
 
     # HBM-resident corpus: gather batches on device instead of uploading
@@ -450,7 +463,7 @@ def train(
     corpus = counts = None
     if cfg.training.device_corpus_cache != "off":
         built, reason = build_device_corpus(
-            cfg, train_utts, mesh, audio_cache=batcher.audio_cache
+            cfg, train_utts, mesh, batcher=batcher
         )
         if built is not None:
             corpus, counts = built

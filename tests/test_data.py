@@ -180,7 +180,8 @@ def test_css10_loader(tmp_path):
     cfg = DatasetConfig(dataset="css10", dataset_dir=str(tmp_path))
     utts = load_css10(cfg)
     assert len(utts) == 2
-    assert utts[0].uid == "1"
+    # uid keeps the book directory (per-book numbering would collide).
+    assert utts[0].uid == "achtgesichterambiwasse_1"
     assert utts[0].wav_path.endswith("achtgesichterambiwasse/1.wav")
     # Normalized column preferred; umlauts transliterate to ASCII.
     assert utts[0].text == "ein maedchen."

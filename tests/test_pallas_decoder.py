@@ -75,6 +75,37 @@ def test_fused_decode_matches_xla_scan(setup, stop_threshold, min_steps):
         )
 
 
+def test_unsupported_arch_is_rejected(setup):
+    """Topologies the kernel does not implement must never silently run:
+    supports_arch gates auto-selection, and weights_from_tree raises on a
+    param tree with extra layers (they would otherwise be dropped)."""
+    from sstts.ops.pallas_decoder import supports_arch, weights_from_tree
+
+    cfg, arch, model, variables, memory, mmask = setup
+    assert supports_arch(arch)
+    assert not supports_arch(
+        dataclasses.replace(arch, decoder_gru_layers=3)
+    )
+    assert not supports_arch(
+        dataclasses.replace(arch, attention_type="local_luong")
+    )
+    assert not supports_arch(
+        dataclasses.replace(arch, prenet_units=(32, 16, 8))
+    )
+
+    deep = Tacotron(
+        dataclasses.replace(arch, decoder_gru_layers=3), cfg.dataset
+    )
+    rng = jax.random.PRNGKey(0)
+    ids = jnp.ones((2, 8), jnp.int32)
+    mel = jnp.zeros((2, 8, cfg.dataset.n_mels), jnp.float32)
+    deep_vars = deep.init(
+        {"params": rng, "dropout": rng}, ids, mel, None, train=True
+    )
+    with pytest.raises(ValueError, match="extra layers"):
+        weights_from_tree(deep_vars["params"]["decoder_cell"])
+
+
 def test_fused_decode_respects_stop_threshold_midway(setup):
     """A mid-range threshold with untrained params stops different rows at
     different steps; frame counts and the post-stop silence must agree."""
