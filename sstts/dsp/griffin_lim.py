@@ -45,9 +45,14 @@ GL_DATA_PATH = "banded"
 #: "split_xla" = split iteration with the XLA banded reprojection (no
 #: Pallas custom calls — required under a GSPMD-partitioned mesh program,
 #: which cannot shard opaque custom calls; `Synthesizer` selects it
-#: automatically when given a mesh).  Default "split" until the fused
-#: kernel is benchmarked on the real chip (correctness is CPU-tested; the
-#: perf win is still an estimate).
+#: automatically when given a mesh).  Default "split": the round-2
+#: chained in-program A/B on v5e (scripts/profile_gl_chain.py, dispatch
+#: overhead amortized away) measured GL-60 at b=4 x 800 frames as
+#: split 13.3 ms vs fused 14.3 ms — the fused kernel does NOT beat the
+#: split data path on compute.  Its remaining value is compile cost:
+#: local Mosaic compiles in seconds where the split XLA graph pays the
+#: remote compile service (minutes when degraded), so serving stacks
+#: (bench.py) still probe it as a candidate.
 GL_ITER_IMPL = "split"
 
 
