@@ -188,6 +188,34 @@ def test_css10_loader(tmp_path):
     assert utts[1].text == "zwei satze hier."
 
 
+def test_load_corpus_dispatch(tmp_path):
+    """train.load_corpus routes every dataset kind to its loader."""
+    from sstts.train import load_corpus
+
+    (tmp_path / "wavn").mkdir()
+    (tmp_path / "prompts.data").write_text('( X-01 "Hello corpus." )\n')
+    cfg = Config(
+        dataset=DatasetConfig(
+            dataset="blizzard_nancy", dataset_dir=str(tmp_path),
+            eval_fraction=0.0,
+        )
+    )
+    train, evals = load_corpus(cfg)
+    assert [u.uid for u in train] == ["X-01"] and evals == []
+
+    (tmp_path / "transcript.txt").write_text("a/1.wav|Zwei.||1.0\n")
+    cfg = Config(
+        dataset=DatasetConfig(
+            dataset="css10", dataset_dir=str(tmp_path), eval_fraction=0.0
+        )
+    )
+    train, _ = load_corpus(cfg)
+    assert [u.uid for u in train] == ["a_1"]
+
+    with pytest.raises(ValueError, match="unknown dataset kind"):
+        load_corpus(Config(dataset=DatasetConfig(dataset="nope")))
+
+
 def test_load_audio_resample_on_load(tmp_path):
     """A mismatched-rate corpus loads through the polyphase resampler when
     dataset.resample_on_load is set, and raises otherwise."""
