@@ -286,14 +286,15 @@ def fused_decode(
     const2 = lambda t: (0, 0)  # noqa: E731
     const3 = lambda t: (0, 0, 0)  # noqa: E731
 
+    # Row-vector params (biases, score v/b — all shaped (1, N)) stay f32;
+    # weight matrices ride in the matmul dtype (bf16 by default).
     w_dev = DecoderWeights(
         *[
-            a.astype(matmul_dtype) if a.ndim == 2 and a.shape[0] > 1 else
-            a.astype(jnp.float32)
+            a.astype(jnp.float32) if a.shape[0] == 1
+            else a.astype(matmul_dtype)
             for a in w
         ]
     )
-    # Row-vector params (biases, score v) stay f32; matrices ride bf16.
     w_specs = [
         pl.BlockSpec(a.shape, const2, memory_space=pltpu.VMEM) for a in w_dev
     ]

@@ -66,14 +66,20 @@ class Synthesizer:
                 f"unknown wire_format {cfg.inference.wire_format!r}; "
                 "expected 'pcm16' or 'mulaw8'"
             )
-        if (
+        # One flag governs every Pallas path: GSPMD partitions a global
+        # program from sharding annotations but cannot shard an opaque
+        # custom call, so under a multi-device gspmd mesh the vocoder, the
+        # BiGRUs, and the AR decoder must all stay Pallas-free (shard_map
+        # runs the per-shard program unchanged, Pallas included).
+        self._gspmd_multidev = (
             mesh is not None
             and partition == "gspmd"
-            and cfg.inference.griffin_lim_iter_impl in (None, "auto")
+            and mesh.devices.size > 1
+        )
+        if self._gspmd_multidev and cfg.inference.griffin_lim_iter_impl in (
+            None,
+            "auto",
         ):
-            # GSPMD partitions the whole synthesis program over the mesh but
-            # cannot shard opaque custom calls, so the vocoder must stay
-            # Pallas-free: split iteration + XLA banded reprojection.
             # "auto" would resolve to the fused Pallas kernel on TPU, so it
             # gets the same mesh-safe override; only an explicit
             # "fused"/"split" choice bypasses it.
@@ -90,16 +96,7 @@ class Synthesizer:
         dtype = (
             jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
         )
-        # GSPMD cannot shard opaque Pallas custom calls, so the BiGRUs pin
-        # the XLA scan backend under a multi-device gspmd mesh (shard_map
-        # runs the per-shard program unchanged, Pallas included).
-        gru_backend = (
-            "xla"
-            if mesh is not None
-            and partition == "gspmd"
-            and mesh.devices.size > 1
-            else None
-        )
+        gru_backend = "xla" if self._gspmd_multidev else None
         self.model = Tacotron(
             cfg.arch, cfg.dataset, dtype=dtype, gru_backend=gru_backend
         )
@@ -225,13 +222,7 @@ class Synthesizer:
                 "needs the XLA scan"
             )
         if impl == "auto":
-            if (
-                self.mesh is not None
-                and self.partition == "gspmd"
-                and self.mesh.devices.size > 1
-            ):
-                return "xla"
-            if not supports_arch(self.cfg.arch):
+            if self._gspmd_multidev or not supports_arch(self.cfg.arch):
                 return "xla"
             return "fused" if jax.default_backend() == "tpu" else "xla"
         return impl
