@@ -89,6 +89,50 @@ class DecoderCell(nn.Module):
             finished=jnp.zeros((batch,), bool),
         )
 
+    def teacher_step(
+        self,
+        carry: DecoderCarry,
+        prenet_out: jnp.ndarray,
+        memory: jnp.ndarray,
+        keys: jnp.ndarray,
+        memory_mask: Optional[jnp.ndarray],
+    ) -> Tuple[DecoderCarry, Tuple[jnp.ndarray, jnp.ndarray]]:
+        """One teacher-forced step with the MXU-hostile work hoisted out.
+
+        Teacher forcing knows every step's input upfront, so the pre-net
+        runs BEFORE the scan as one batched (B, S, .) matmul pair and the
+        frame/stop projections run AFTER it on the stacked features
+        (SURVEY.md §7 "small sequential matmuls underutilize the MXU") —
+        this step keeps only the genuinely sequential chain: attention GRU
+        -> attention -> residual GRU stack.  Returns (new_carry,
+        (x, alignment)) where x is the feature the projections consume.
+        Same math as `__call__`'s teacher path, step for step.
+        """
+        attn_in = jnp.concatenate([prenet_out, carry.context], axis=-1)
+        attn_h, _ = self.attn_gru(carry.attn_h, (attn_in, None))
+        alignment = self.attention(attn_h, keys, memory_mask, carry.alignment)
+        context = attention_context(alignment, memory)
+        alignment = alignment.astype(self.dtype)
+        context = context.astype(self.dtype)
+        attn_h = attn_h.astype(self.dtype)
+        x = self.dec_proj(jnp.concatenate([attn_h, context], axis=-1))
+        new_dec_hs = []
+        for gru, h in zip(self.dec_grus, carry.dec_hs):
+            h_new, out = gru(h, (x, None))
+            new_dec_hs.append(h_new)
+            x = x + out
+        new_carry = DecoderCarry(
+            attn_h=attn_h,
+            dec_hs=tuple(new_dec_hs),
+            context=context,
+            alignment=alignment,
+            # prev_frame is never read under teacher forcing (the next
+            # step's input is the next teacher frame).
+            prev_frame=carry.prev_frame,
+            finished=carry.finished,
+        )
+        return new_carry, (x, alignment)
+
     def __call__(
         self,
         carry: DecoderCarry,

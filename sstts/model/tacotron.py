@@ -80,17 +80,25 @@ class Tacotron(nn.Module):
         mel_gt: jnp.ndarray,
         train: bool = True,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-        """Teacher-forced scan -> (mel (B,F,M), stop_logits (B,F), align (B,S,T))."""
+        """Teacher-forced scan -> (mel (B,F,M), stop_logits (B,F), align (B,S,T)).
+
+        The pre-net runs BEFORE the scan (its inputs — the teacher frames —
+        are all known upfront) and the frame/stop projections AFTER it on
+        the stacked features: four per-step small matmuls become two pairs
+        of large batched MXU matmuls, and the scan body keeps only the
+        genuinely sequential attention/GRU chain (SURVEY.md §7).
+        """
         r = self.arch.reduction_factor
         inputs = teacher_inputs(mel_gt, r)  # (B, S, M)
         batch, steps, _ = inputs.shape
+        pre = self.decoder_cell.prenet(inputs, train=train)  # (B, S, P1)
         keys = self.decoder_cell.init_keys(memory)
         carry0 = self.decoder_cell.init_carry(
             batch, memory.shape[1], memory.shape[-1]
         )
 
-        def step(cell: DecoderCell, carry, frame):
-            return cell(carry, frame, memory, keys, memory_mask, train)
+        def step(cell: DecoderCell, carry, pre_t):
+            return cell.teacher_step(carry, pre_t, memory, keys, memory_mask)
 
         scan = nn.scan(
             step,
@@ -99,10 +107,12 @@ class Tacotron(nn.Module):
             in_axes=1,
             out_axes=1,
         )
-        _, out = scan(self.decoder_cell, carry0, inputs)
-        mel = out.mel.reshape(batch, steps * r, self.data.n_mels)
-        stops = out.stop_logits.reshape(batch, steps * r)
-        return mel, stops, out.alignment
+        _, (xs, alignments) = scan(self.decoder_cell, carry0, pre)
+        mel = self.decoder_cell.frame_proj(xs).reshape(
+            batch, steps * r, self.data.n_mels
+        )
+        stops = self.decoder_cell.stop_proj(xs).reshape(batch, steps * r)
+        return mel, stops, alignments
 
     def decode_infer(
         self,
