@@ -443,7 +443,24 @@ def train(
         mesh = make_mesh(data_parallel=n)
     logger = MetricsLogger(workdir)
     ckpt = CheckpointManager(cfg, workdir)
+    try:
+        return _train_loop(cfg, mesh, max_steps, log_every, logger, ckpt)
+    finally:
+        # Failure hygiene (SURVEY.md §5.3): a crash mid-run must still flush
+        # pending async checkpoint writes and the metrics stream so the next
+        # process can restart-resume from the last durable step.
+        ckpt.close()
+        logger.close()
 
+
+def _train_loop(
+    cfg: Config,
+    mesh: Mesh,
+    max_steps: int,
+    log_every: int,
+    logger: MetricsLogger,
+    ckpt: CheckpointManager,
+) -> TrainState:
     train_utts, eval_utts = load_corpus(cfg)
     batcher = pipeline_mod.Batcher(train_utts, cfg)
     eval_batcher = pipeline_mod.Batcher(eval_utts, cfg) if eval_utts else None
@@ -548,6 +565,4 @@ def train(
                 logger.log(step, {k: v / n for k, v in agg.items()}, prefix="eval")
                 _log_eval_media(logger, step, cfg, last_out)
     ckpt.save(step, state)
-    ckpt.close()
-    logger.close()
     return state
