@@ -1,0 +1,179 @@
+"""Chained in-program breakdown of the teacher-forced train step.
+
+Where do the ~22 ms/step (b=32 x 400 frames, BASELINE.md config 3) go?
+Each phase runs K data-dependent times inside ONE jit call; per-phase cost
+is (t_K - t_base)/K, immune to the relay's per-call dispatch floor
+(CLAUDE.md measurement discipline; same pattern as profile_decoder_chain).
+
+Phases: features (STFT/mel), encode, teacher-forced decode scan,
+post-process, full forward (loss), full train step (forward+backward+adam).
+backward+adam ~= step - forward.
+
+Usage: timeout 3600 python scripts/profile_train_chain.py [K]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+REPS = 5
+
+
+def timed(tag, f, *args):
+    t0 = time.perf_counter()
+    r = float(f(*args))
+    print(f"{tag}: compile+run {time.perf_counter() - t0:.1f}s "
+          f"({'finite' if np.isfinite(r) else 'NONFINITE'})", flush=True)
+    ts = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        float(f(*args))
+        ts.append(time.perf_counter() - t0)
+    med = float(np.median(ts)) * 1000
+    print(f"{tag}: median {med:.1f} ms", flush=True)
+    return med
+
+
+def main() -> None:
+    from sstts.config import Config
+    from sstts.dsp.ops import wav_to_features
+    from sstts.model.losses import frame_mask_from_lengths, tacotron_loss
+    from sstts.train import _make_step_body, build_model, create_state
+
+    cfg = Config()
+    B, T = 32, 400
+    L = cfg.training.text_buckets[0]
+    hop = cfg.dataset.hop_len
+    n_samples = (T - 1) * hop
+    rng = np.random.default_rng(0)
+
+    state = create_state(cfg)
+    model = build_model(cfg)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    ids = np.where(
+        rng.random((B, L)) < 0.8, rng.integers(1, 30, (B, L)), 0
+    ).astype(np.int32)
+    ids[:, 0] = 1
+    batch = {
+        "char_ids": jnp.asarray(ids),
+        "text_len": jnp.asarray(np.maximum((ids != 0).sum(1), 1), jnp.int32),
+        "samples": jnp.asarray(
+            (rng.standard_normal((B, n_samples)) * 3000).astype(np.int16)
+        ),
+        "n_frames": jnp.full((B,), T, jnp.int32),
+        "loss_frames": jnp.full((B,), T, jnp.int32),
+    }
+    samples_f = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
+    linear_gt, mel_gt = jax.jit(lambda s: wav_to_features(s, cfg.dataset))(
+        samples_f
+    )
+    linear_gt = jax.block_until_ready(linear_gt)
+    frame_mask = frame_mask_from_lengths(batch["n_frames"], mel_gt.shape[1])
+    key = jax.random.PRNGKey(0)
+
+    def chain(once):
+        """once(x, rng) -> array; chain K data-dependent applications."""
+
+        def f(x, r):
+            acc = jnp.float32(0.0)
+            for i in range(K):
+                out = once(x, jax.random.fold_in(r, i))
+                s = jnp.sum(out).astype(jnp.float32)
+                acc = acc + s
+                x = x + (s * 1e-12).astype(x.dtype)
+            return acc
+        return jax.jit(f)
+
+    t_base = timed("baseline", jax.jit(lambda x, r: jnp.sum(x) * 2.0),
+                   samples_f, key)
+
+    results = {}
+
+    def phase(tag, f, x):
+        t = timed(f"{tag} x{K}", chain(f), x, key)
+        results[tag] = (t - t_base) / K
+
+    phase("features", lambda s, r: wav_to_features(s, cfg.dataset)[0],
+          samples_f)
+
+    from sstts.model.tacotron import Tacotron
+
+    def enc(x, r):
+        m, _ = model.apply(variables, x.astype(jnp.int32), True,
+                           method=Tacotron.encode, rngs={"dropout": r},
+                           mutable=["batch_stats"])[0]
+        return m
+
+    phase("encode", enc, jnp.asarray(ids))
+
+    memory, mmask = jax.jit(
+        lambda v, i, r: model.apply(v, i, True, method=Tacotron.encode,
+                                    rngs={"dropout": r},
+                                    mutable=["batch_stats"])[0]
+    )(variables, jnp.asarray(ids), key)
+    memory = jax.block_until_ready(memory)
+
+    def dec(m, r):
+        (mel, stops, align), _ = model.apply(
+            variables, m, mmask, mel_gt, True,
+            method=Tacotron.decode_teacher, rngs={"dropout": r},
+            mutable=["batch_stats"],
+        )
+        return mel
+
+    phase("decode_teacher", dec, memory)
+
+    def post(mel, r):
+        lin, _ = model.apply(
+            variables, mel, frame_mask, True, method=Tacotron.postprocess,
+            rngs={"dropout": r}, mutable=["batch_stats"],
+        )
+        return lin
+
+    phase("postprocess", post, mel_gt)
+
+    def fwd(s, r):
+        out, _ = model.apply(
+            variables, batch["char_ids"],
+            wav_to_features(s, cfg.dataset)[1], frame_mask, True,
+            rngs={"dropout": r}, mutable=["batch_stats"],
+        )
+        loss, _ = tacotron_loss(
+            out, mel_gt, linear_gt, batch["loss_frames"], cfg.arch,
+            cfg.dataset, text_lengths=batch["text_len"],
+        )
+        return loss
+
+    phase("forward+loss", fwd, samples_f)
+
+    step_body = _make_step_body(cfg)
+
+    def steps_chained(st, b):
+        acc = jnp.float32(0.0)
+        for _ in range(K):
+            st, metrics = step_body(st, b)
+            acc = acc + metrics["loss"]
+        return acc
+
+    t_step = timed(f"train step x{K}", jax.jit(steps_chained), state, batch)
+    results["train step"] = (t_step - t_base) / K
+
+    print("\nper-application in-program cost (b=32, T=400):")
+    for tag, ms in results.items():
+        print(f"  {tag:16s} {ms:7.2f} ms")
+    print(f"  {'bwd+adam (est)':16s} "
+          f"{results['train step'] - results['forward+loss']:7.2f} ms")
+
+
+if __name__ == "__main__":
+    main()

@@ -15,6 +15,7 @@ from __future__ import annotations
 from typing import Any, Dict, Optional, Tuple
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from sstts.config import ArchitectureConfig, DatasetConfig
@@ -31,6 +32,11 @@ class Tacotron(nn.Module):
     #: Pallas fused kernel on TPU; mesh-aware callers pin "xla" under GSPMD
     #: partitioning, which cannot shard opaque custom calls).
     gru_backend: Optional[str] = None
+    #: Teacher-forced decoder scan implementation (None = auto = "xla":
+    #: the fused Pallas whole-scan kernel measured slower than the hoisted
+    #: XLA scan at flagship shapes — sstts.ops.pallas_decoder.TEACHER_IMPL
+    #: has the numbers; "fused" opts in).
+    teacher_backend: Optional[str] = None
 
     def setup(self) -> None:
         a = self.arch
@@ -93,21 +99,50 @@ class Tacotron(nn.Module):
         batch, steps, _ = inputs.shape
         pre = self.decoder_cell.prenet(inputs, train=train)  # (B, S, P1)
         keys = self.decoder_cell.init_keys(memory)
-        carry0 = self.decoder_cell.init_carry(
-            batch, memory.shape[1], memory.shape[-1]
-        )
 
-        def step(cell: DecoderCell, carry, pre_t):
-            return cell.teacher_step(carry, pre_t, memory, keys, memory_mask)
+        xs, alignments = None, None
+        if not self.is_initializing():
+            from sstts.ops import pallas_decoder as pd
 
-        scan = nn.scan(
-            step,
-            variable_broadcast="params",
-            split_rngs={"params": False, "dropout": True},
-            in_axes=1,
-            out_axes=1,
-        )
-        _, (xs, alignments) = scan(self.decoder_cell, carry0, pre)
+            if pd.resolve_teacher_impl(self.teacher_backend, self.arch) == "fused":
+                # Whole-scan Pallas kernel (weights VMEM-resident across the
+                # S steps, state in scratch); backward rematerializes through
+                # the XLA oracle.  Init always takes the nn.scan path below —
+                # it creates the (shared) parameters the kernel reads.
+                on_tpu = jax.default_backend() == "tpu"
+                w = pd.teacher_weights_from_tree(
+                    self.decoder_cell.variables["params"]
+                )
+                maskf = (
+                    memory_mask.astype(jnp.float32)
+                    if memory_mask is not None
+                    else jnp.ones(memory.shape[:2], jnp.float32)
+                )
+                xs, alignments = pd.fused_teacher_scan_ad(
+                    w, pre.astype(jnp.float32), memory, keys, maskf,
+                    jnp.bfloat16 if on_tpu else jnp.float32,
+                    not on_tpu,  # interpret mode off-TPU (tests/CPU)
+                )
+                xs = xs.astype(self.dtype)
+                alignments = alignments.astype(self.dtype)
+        if xs is None:
+            carry0 = self.decoder_cell.init_carry(
+                batch, memory.shape[1], memory.shape[-1]
+            )
+
+            def step(cell: DecoderCell, carry, pre_t):
+                return cell.teacher_step(
+                    carry, pre_t, memory, keys, memory_mask
+                )
+
+            scan = nn.scan(
+                step,
+                variable_broadcast="params",
+                split_rngs={"params": False, "dropout": True},
+                in_axes=1,
+                out_axes=1,
+            )
+            _, (xs, alignments) = scan(self.decoder_cell, carry0, pre)
         mel = self.decoder_cell.frame_proj(xs).reshape(
             batch, steps * r, self.data.n_mels
         )

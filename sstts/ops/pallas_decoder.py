@@ -39,7 +39,8 @@ local-Luong thesis variant stays on the XLA scan path.
 from __future__ import annotations
 
 import os
-from typing import Any, Dict, NamedTuple
+from functools import partial
+from typing import Any, Dict, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -344,6 +345,298 @@ def fused_decode(
         "alignments": jnp.swapaxes(align_s, 0, 1),
         "n_frames": jnp.sum(~finished, axis=1) * r,
     }
+
+
+#: Teacher-forced scan implementation: "auto" | "xla" | "fused".  "auto"
+#: resolves to "xla" — measured on v5e (scripts/profile_teacher_chain.py,
+#: chained in-program A/B at b=32, S=80 flagship shapes): the fused kernel
+#: LOSES to the XLA scan on both legs (fwd 0.65 vs 0.42 ms; fwd+bwd 5.07 vs
+#: 4.49 ms/application).  Unlike the AR decode (2.0x win), the teacher body
+#: is small after the prenet/projection hoisting and fully pipelined by XLA,
+#: while the kernel re-reads its VMEM-resident weights per step for ~100 us
+#: of work and its backward still rematerializes through the XLA oracle.
+#: The kernel stays as a tested opt-in (force with "fused").
+TEACHER_IMPL = os.environ.get("SSTTS_TF_DECODER_IMPL", "auto")
+
+
+class TeacherWeights(NamedTuple):
+    """Teacher-step parameters (the AR cell minus prenet/projections, which
+    the teacher path hoists out of the scan — Tacotron.decode_teacher)."""
+
+    attn_wx: jnp.ndarray  # (P1 + Dm, 3*Ha)
+    attn_wh: jnp.ndarray  # (Ha, 3*Ha)
+    attn_b: jnp.ndarray  # (1, 3*Ha)
+    query_w: jnp.ndarray  # (Ha, A)
+    score_v: jnp.ndarray  # (1, A)
+    score_b: jnp.ndarray  # (1, A)
+    dec_w: jnp.ndarray  # (Ha + Dm, Hd)
+    dec_b: jnp.ndarray  # (1, Hd)
+    gru0_wx: jnp.ndarray  # (Hd, 3*Hd)
+    gru0_wh: jnp.ndarray  # (Hd, 3*Hd)
+    gru0_b: jnp.ndarray  # (1, 3*Hd)
+    gru1_wx: jnp.ndarray  # (Hd, 3*Hd)
+    gru1_wh: jnp.ndarray  # (Hd, 3*Hd)
+    gru1_b: jnp.ndarray  # (1, 3*Hd)
+
+
+def teacher_weights_from_tree(params: Any) -> TeacherWeights:
+    """`params` is variables["params"]["decoder_cell"]; raises on layer
+    counts the kernel does not implement (see supports_teacher_arch)."""
+    p = params
+    extra = {k for k in p if k.startswith("dec_gru")} - {"dec_gru0", "dec_gru1"}
+    if extra:
+        raise ValueError(
+            f"fused teacher decoder supports exactly 2 decoder GRUs; param "
+            f"tree has extra layers {sorted(extra)} — use the XLA scan"
+        )
+
+    def row(x):
+        return jnp.asarray(x).reshape(1, -1)
+
+    return TeacherWeights(
+        attn_wx=p["attn_gru"]["wx"],
+        attn_wh=p["attn_gru"]["wh"],
+        attn_b=row(p["attn_gru"]["b"]),
+        query_w=p["attention"]["query_proj"]["kernel"],
+        score_v=row(p["attention"]["v"]),
+        score_b=row(p["attention"]["b"]),
+        dec_w=p["dec_proj"]["kernel"],
+        dec_b=row(p["dec_proj"]["bias"]),
+        gru0_wx=p["dec_gru0"]["wx"],
+        gru0_wh=p["dec_gru0"]["wh"],
+        gru0_b=row(p["dec_gru0"]["b"]),
+        gru1_wx=p["dec_gru1"]["wx"],
+        gru1_wh=p["dec_gru1"]["wh"],
+        gru1_b=row(p["dec_gru1"]["b"]),
+    )
+
+
+def _teacher_step_math(w: TeacherWeights, pre_t, attn_h, h0, h1, ctx,
+                       memory, keys, maskf, dot):
+    """One teacher-forced step: attention GRU -> Bahdanau attention -> dec
+    projection -> 2 residual GRUs.  Shared by the Pallas kernel and the XLA
+    oracle scan (identical math, f32 accumulation/softmax); mirrors
+    sstts.model.decoder.DecoderCell.teacher_step."""
+    attn_in = jnp.concatenate([pre_t, ctx], axis=-1)
+    h_a = _gru_step(attn_in, attn_h, w.attn_wx, w.attn_wh, w.attn_b, dot)
+
+    q = dot(h_a, w.query_w) + w.score_b  # (B, A)
+    s = jnp.tanh(keys.astype(jnp.float32) + q[:, None, :])
+    scores = jnp.sum(s * w.score_v[None, :, :], axis=-1)  # (B, T)
+    scores = jnp.where(maskf > 0.0, scores, -1e9)
+    scores = scores - jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores)
+    align = e / jnp.sum(e, axis=-1, keepdims=True)  # (B, T) f32
+    new_ctx = jnp.sum(
+        align[:, :, None] * memory.astype(jnp.float32), axis=1
+    )  # (B, Dm) f32
+
+    d = dot(jnp.concatenate([h_a, new_ctx], axis=-1), w.dec_w) + w.dec_b
+    h0_new = _gru_step(d, h0, w.gru0_wx, w.gru0_wh, w.gru0_b, dot)
+    d = d + h0_new
+    h1_new = _gru_step(d, h1, w.gru1_wx, w.gru1_wh, w.gru1_b, dot)
+    d = d + h1_new
+    return d, align, h_a, h0_new, h1_new, new_ctx
+
+
+def fused_teacher_scan(
+    w: TeacherWeights,
+    pre: jnp.ndarray,
+    memory: jnp.ndarray,
+    keys: jnp.ndarray,
+    maskf: jnp.ndarray,
+    matmul_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Teacher-forced decoder scan as ONE Pallas kernel.
+
+    pre: (B, S, P1) hoisted prenet outputs; memory (B, T, Dm); keys
+    (B, T, A); maskf (B, T) f32 {0,1}.  Returns (xs (B, S, Hd) f32 — the
+    features the frame/stop projections consume — and align (B, S, T) f32).
+    Same kernel economics as `fused_decode`: step index as the grid, all
+    weights + memory/keys VMEM-resident across the S steps, recurrent state
+    in VMEM scratch (never round-trips to HBM between steps).
+    """
+    dot = _make_dot(matmul_dtype)
+    B, S, P1 = pre.shape
+    _, T, Dm = memory.shape
+    Ha = w.attn_wh.shape[0]
+    Hd = w.gru0_wh.shape[0]
+
+    pre_t = jnp.swapaxes(pre, 0, 1).astype(jnp.float32)  # (S, B, P1)
+    mem_dev = memory.astype(matmul_dtype)
+    keys_dev = keys.astype(matmul_dtype)
+
+    w_dev = TeacherWeights(
+        *[
+            a.astype(jnp.float32) if a.shape[0] == 1
+            else a.astype(matmul_dtype)
+            for a in w
+        ]
+    )
+    n_weights = len(w_dev)
+
+    def kernel(*refs):
+        w_refs = refs[:n_weights]
+        pre_ref, mem_ref, keys_ref, mask_ref = refs[n_weights : n_weights + 4]
+        xs_ref, align_ref = refs[n_weights + 4 : n_weights + 6]
+        attn_h, dec_h0, dec_h1, context = refs[n_weights + 6 :]
+        wk = TeacherWeights(*[ref[...] for ref in w_refs])
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            attn_h[...] = jnp.zeros_like(attn_h)
+            dec_h0[...] = jnp.zeros_like(dec_h0)
+            dec_h1[...] = jnp.zeros_like(dec_h1)
+            context[...] = jnp.zeros_like(context)
+
+        d, align, h_a, h0_new, h1_new, new_ctx = _teacher_step_math(
+            wk, pre_ref[0], attn_h[...], dec_h0[...], dec_h1[...],
+            context[...], mem_ref[...], keys_ref[...], mask_ref[...], dot,
+        )
+        attn_h[...] = h_a
+        dec_h0[...] = h0_new
+        dec_h1[...] = h1_new
+        context[...] = new_ctx
+        xs_ref[0] = d
+        align_ref[0] = align
+
+    step_map3 = lambda t: (t, 0, 0)  # noqa: E731
+    const2 = lambda t: (0, 0)  # noqa: E731
+    const3 = lambda t: (0, 0, 0)  # noqa: E731
+
+    xs_s, align_s = pl.pallas_call(
+        kernel,
+        grid=(S,),
+        in_specs=[
+            *[
+                pl.BlockSpec(a.shape, const2, memory_space=pltpu.VMEM)
+                for a in w_dev
+            ],
+            pl.BlockSpec((1, B, P1), step_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T, Dm), const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec(keys_dev.shape, const3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, T), const2, memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, B, Hd), step_map3, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, B, T), step_map3, memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((S, B, Hd), jnp.float32),
+            jax.ShapeDtypeStruct((S, B, T), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((B, Ha), jnp.float32),
+            pltpu.VMEM((B, Hd), jnp.float32),
+            pltpu.VMEM((B, Hd), jnp.float32),
+            pltpu.VMEM((B, Dm), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*w_dev, pre_t, mem_dev, keys_dev, maskf)
+
+    return jnp.swapaxes(xs_s, 0, 1), jnp.swapaxes(align_s, 0, 1)
+
+
+def teacher_scan_xla(
+    w: TeacherWeights,
+    pre: jnp.ndarray,
+    memory: jnp.ndarray,
+    keys: jnp.ndarray,
+    maskf: jnp.ndarray,
+):
+    """f32 `lax.scan` oracle with math identical to `fused_teacher_scan`
+    (used as its differentiation path and its correctness reference)."""
+    dot = _make_dot(jnp.float32)
+    B, S, _ = pre.shape
+    _, T, Dm = memory.shape
+    Ha = w.attn_wh.shape[0]
+    Hd = w.gru0_wh.shape[0]
+    pre_t = jnp.swapaxes(pre, 0, 1).astype(jnp.float32)
+    mem32 = memory.astype(jnp.float32)
+    keys32 = keys.astype(jnp.float32)
+
+    def step(carry, pre_step):
+        attn_h, h0, h1, ctx = carry
+        d, align, h_a, h0_new, h1_new, new_ctx = _teacher_step_math(
+            w, pre_step, attn_h, h0, h1, ctx, mem32, keys32, maskf, dot
+        )
+        return (h_a, h0_new, h1_new, new_ctx), (d, align)
+
+    zeros = lambda n: jnp.zeros((B, n), jnp.float32)  # noqa: E731
+    (_, (xs_s, align_s)) = jax.lax.scan(
+        step, (zeros(Ha), zeros(Hd), zeros(Hd), zeros(Dm)), pre_t
+    )
+    return jnp.swapaxes(xs_s, 0, 1), jnp.swapaxes(align_s, 0, 1)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def fused_teacher_scan_ad(
+    w: TeacherWeights,
+    pre: jnp.ndarray,
+    memory: jnp.ndarray,
+    keys: jnp.ndarray,
+    maskf: jnp.ndarray,
+    matmul_dtype: jnp.dtype = jnp.bfloat16,
+    interpret: bool = False,
+):
+    """Differentiable fused teacher scan: Pallas forward, XLA backward.
+
+    `pallas_call` has no autodiff rule, so the backward rematerializes the
+    scan through `teacher_scan_xla` (identical math) and differentiates
+    that — the same contract as sstts.ops.pallas_gru.gru_sequence_ad.
+    """
+    return fused_teacher_scan(
+        w, pre, memory, keys, maskf, matmul_dtype, interpret
+    )
+
+
+def _teacher_ad_fwd(w, pre, memory, keys, maskf, matmul_dtype, interpret):
+    out = fused_teacher_scan(
+        w, pre, memory, keys, maskf, matmul_dtype, interpret
+    )
+    return out, (w, pre, memory, keys, maskf)
+
+
+def _teacher_ad_bwd(matmul_dtype, interpret, residuals, g):
+    w, pre, memory, keys, maskf = residuals
+
+    def ref(w, pre, memory, keys):
+        return teacher_scan_xla(w, pre, memory, keys, maskf)
+
+    _, vjp = jax.vjp(ref, w, pre, memory, keys)
+    dw, dpre, dmem, dkeys = vjp(g)
+    return dw, dpre, dmem, dkeys, jnp.zeros_like(maskf)
+
+
+fused_teacher_scan_ad.defvjp(_teacher_ad_fwd, _teacher_ad_bwd)
+
+
+def supports_teacher_arch(arch) -> bool:
+    """True iff the fused teacher scan implements this architecture exactly
+    (the prenet runs outside the scan, so its depth does not matter here)."""
+    return arch.attention_type == "bahdanau" and arch.decoder_gru_layers == 2
+
+
+def resolve_teacher_impl(override: Optional[str], arch) -> str:
+    """Resolve the teacher-forced scan implementation ("xla" | "fused").
+
+    "auto" is "xla" — the fused kernel measured slower at flagship shapes
+    (see TEACHER_IMPL).  An explicit "fused" on an unsupported architecture
+    is an error rather than a silent fallback.
+    """
+    impl = override or TEACHER_IMPL
+    if impl == "auto":
+        impl = "xla"
+    if impl == "fused" and not supports_teacher_arch(arch):
+        raise ValueError(
+            "teacher decoder impl 'fused' requires Bahdanau attention and "
+            "exactly 2 decoder GRUs — use 'xla' for this architecture"
+        )
+    if impl not in ("xla", "fused"):
+        raise ValueError(f"unknown teacher decoder impl: {impl!r}")
+    return impl
 
 
 def supports_arch(arch) -> bool:

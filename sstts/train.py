@@ -64,13 +64,15 @@ def make_optimizer(cfg: Config) -> optax.GradientTransformation:
 
 def build_model(cfg: Config, mesh: Optional[Mesh] = None) -> Tacotron:
     dtype = jnp.bfloat16 if cfg.arch.compute_dtype == "bfloat16" else jnp.float32
-    # Under a multi-device GSPMD mesh the BiGRUs must stay on the XLA scan
-    # path: GSPMD cannot shard the opaque Pallas sequence kernel (same
-    # constraint as the vocoder's split_xla override in sstts.synthesize).
-    gru_backend = (
-        "xla" if mesh is not None and mesh.devices.size > 1 else None
+    # Under a multi-device GSPMD mesh the BiGRUs and the teacher-forced
+    # decoder must stay on the XLA scan path: GSPMD cannot shard opaque
+    # Pallas custom calls (same constraint as the vocoder's split_xla
+    # override in sstts.synthesize).
+    xla_pin = "xla" if mesh is not None and mesh.devices.size > 1 else None
+    return Tacotron(
+        cfg.arch, cfg.dataset, dtype=dtype,
+        gru_backend=xla_pin, teacher_backend=xla_pin,
     )
-    return Tacotron(cfg.arch, cfg.dataset, dtype=dtype, gru_backend=gru_backend)
 
 
 def create_state(

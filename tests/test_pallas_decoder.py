@@ -106,6 +106,72 @@ def test_unsupported_arch_is_rejected(setup):
         weights_from_tree(deep_vars["params"]["decoder_cell"])
 
 
+def _teacher_both(setup, train=True):
+    cfg, arch, model, variables, memory, mmask = setup
+    rng = jax.random.PRNGKey(3)
+    mel_gt = jax.random.normal(
+        jax.random.PRNGKey(4), (3, 8, cfg.dataset.n_mels), jnp.float32
+    )
+
+    def run(backend):
+        m = Tacotron(arch, cfg.dataset, teacher_backend=backend)
+        return m.apply(
+            variables, memory, mmask, mel_gt, train,
+            method=Tacotron.decode_teacher, rngs={"dropout": rng},
+        )
+
+    return run("xla"), run("fused")
+
+
+def test_fused_teacher_scan_matches_xla_scan(setup):
+    """Teacher-forced whole-scan kernel vs the nn.scan path: same params,
+    same dropout stream (the prenet runs before the dispatch), f32
+    interpret mode off-TPU -> near-exact."""
+    (mel_r, stop_r, align_r), (mel_g, stop_g, align_g) = _teacher_both(setup)
+    np.testing.assert_allclose(
+        np.asarray(mel_g), np.asarray(mel_r), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(stop_g), np.asarray(stop_r), atol=2e-4
+    )
+    np.testing.assert_allclose(
+        np.asarray(align_g), np.asarray(align_r), atol=2e-5
+    )
+
+
+def test_fused_teacher_scan_gradients_match(setup):
+    """The custom-VJP backward (XLA rematerialization) must produce the
+    same parameter gradients as differentiating the nn.scan path."""
+    cfg, arch, model, variables, memory, mmask = setup
+    rng = jax.random.PRNGKey(3)
+    mel_gt = jax.random.normal(
+        jax.random.PRNGKey(4), (3, 8, cfg.dataset.n_mels), jnp.float32
+    )
+
+    def loss(params, backend):
+        m = Tacotron(arch, cfg.dataset, teacher_backend=backend)
+        mel, stops, align = m.apply(
+            {**variables, "params": params}, memory, mmask, mel_gt, False,
+            method=Tacotron.decode_teacher, rngs={"dropout": rng},
+        )
+        return (
+            jnp.mean(jnp.abs(mel - mel_gt))
+            + jnp.mean(stops**2)
+            + jnp.mean(align**2)
+        )
+
+    g_ref = jax.grad(lambda p: loss(p, "xla"))(variables["params"])
+    g_fus = jax.grad(lambda p: loss(p, "fused"))(variables["params"])
+    flat_r = jax.tree_util.tree_leaves_with_path(g_ref)
+    flat_f = jax.tree.leaves(g_fus)
+    assert len(flat_r) == len(flat_f)
+    for (path, r), f in zip(flat_r, flat_f):
+        np.testing.assert_allclose(
+            np.asarray(f), np.asarray(r), atol=5e-4, rtol=1e-3,
+            err_msg=jax.tree_util.keystr(path),
+        )
+
+
 def test_fused_decode_respects_stop_threshold_midway(setup):
     """A mid-range threshold with untrained params stops different rows at
     different steps; frame counts and the post-stop silence must agree."""
