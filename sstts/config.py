@@ -176,6 +176,13 @@ class TrainingConfig:
     #: HBM budget for the resident corpus (MiB); "auto" falls back to host
     #: feeding beyond this.
     device_corpus_budget_mb: int = 6144
+    #: Tensor-parallel size of the mesh's "model" axis (1 = pure data
+    #: parallelism, the primary strategy at this model scale).  >1 shards
+    #: the embedding column-parallel and the post-net projection
+    #: row-parallel (sstts.parallel.mesh.TP_RULES); the device count must
+    #: be divisible by it.  Checkpoint-compatible either way (sharding is
+    #: a layout, not a parameter-tree change).
+    model_parallel: int = 1
     #: Debug mode (SURVEY.md §5.2): enable `jax_debug_nans` so the first NaN
     #: produced inside any jitted step raises with a traceback instead of
     #: silently propagating.  Disables async dispatch — training only.

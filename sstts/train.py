@@ -30,7 +30,12 @@ from sstts.data.synthetic import make_utterances
 from sstts.dsp.ops import wav_to_features
 from sstts.model.losses import frame_mask_from_lengths, tacotron_loss
 from sstts.model.tacotron import Tacotron
-from sstts.parallel.mesh import batch_sharding, make_mesh, replicated_sharding
+from sstts.parallel.mesh import (
+    batch_sharding,
+    make_mesh,
+    replicated_sharding,
+    state_shardings,
+)
 from sstts.utils.logging import MetricsLogger
 
 
@@ -75,17 +80,14 @@ def build_model(cfg: Config, mesh: Optional[Mesh] = None) -> Tacotron:
     )
 
 
-def create_state(
-    cfg: Config, mesh: Optional[Mesh] = None, seed: Optional[int] = None
-) -> TrainState:
-    """Initialize params/opt state under jit (eager init is pathologically
-    slow through the device relay — one compiled program instead)."""
+def _make_init_fn(cfg: Config, mesh: Optional[Mesh] = None):
+    """State initializer (rng -> TrainState), shared by create_state and
+    the sharding-tree derivation."""
     model = build_model(cfg, mesh)
     tx = make_optimizer(cfg)
     r = cfg.arch.reduction_factor
     lt = cfg.training.text_buckets[0]
     fr = -(-cfg.training.frame_buckets[0] // r) * r
-    rng = jax.random.PRNGKey(cfg.training.seed if seed is None else seed)
 
     def init_fn(rng):
         ids = jnp.zeros((2, lt), jnp.int32)
@@ -101,9 +103,29 @@ def create_state(
             opt_state=tx.init(variables["params"]),
         )
 
+    return init_fn
+
+
+def train_state_shardings(cfg: Config, mesh: Mesh) -> TrainState:
+    """Per-leaf NamedShardings for the train state: replicated, except the
+    tensor-parallel leaves of parallel.mesh.TP_RULES when the mesh carries
+    a populated "model" axis (the Adam moments mirror their parameters)."""
+    init_fn = _make_init_fn(cfg, mesh)
+    shapes = jax.eval_shape(init_fn, jax.random.PRNGKey(0))
+    return state_shardings(mesh, shapes)
+
+
+def create_state(
+    cfg: Config, mesh: Optional[Mesh] = None, seed: Optional[int] = None
+) -> TrainState:
+    """Initialize params/opt state under jit (eager init is pathologically
+    slow through the device relay — one compiled program instead)."""
+    init_fn = _make_init_fn(cfg, mesh)
+    rng = jax.random.PRNGKey(cfg.training.seed if seed is None else seed)
     if mesh is not None:
-        out_shardings = replicated_sharding(mesh)
-        return jax.jit(init_fn, out_shardings=out_shardings)(rng)
+        return jax.jit(
+            init_fn, out_shardings=train_state_shardings(cfg, mesh)
+        )(rng)
     return jax.jit(init_fn)(rng)
 
 
@@ -167,12 +189,13 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     """
     train_step = _make_step_body(cfg, mesh)
     if mesh is not None:
+        st = train_state_shardings(cfg, mesh)
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         return jax.jit(
             train_step,
-            in_shardings=(repl, data),
-            out_shardings=(repl, repl),
+            in_shardings=(st, data),
+            out_shardings=(st, repl),
             donate_argnums=(0,),
         )
     return jax.jit(train_step, donate_argnums=(0,))
@@ -202,12 +225,13 @@ def make_cached_train_step(cfg: Config, mesh: Optional[Mesh] = None):
         return train_step(state, batch)
 
     if mesh is not None:
+        st = train_state_shardings(cfg, mesh)
         repl = replicated_sharding(mesh)
         data = batch_sharding(mesh)
         return jax.jit(
             cached_step,
-            in_shardings=(repl, repl, data, data),
-            out_shardings=(repl, repl),
+            in_shardings=(st, repl, data, data),
+            out_shardings=(st, repl),
             donate_argnums=(0,),
         )
     return jax.jit(cached_step, donate_argnums=(0,))
@@ -438,11 +462,18 @@ def train(
     log_every = log_every or cfg.training.summary_every
     if mesh is None:
         # The data axis must divide the batch; default to the largest
-        # compatible device count.
+        # compatible device count after reserving the tensor-parallel axis.
         import math
 
-        n = math.gcd(cfg.training.batch_size, len(jax.devices()))
-        mesh = make_mesh(data_parallel=n)
+        n_model = max(cfg.training.model_parallel, 1)
+        n_dev = len(jax.devices())
+        if n_dev % n_model:
+            raise ValueError(
+                f"training.model_parallel={n_model} does not divide the "
+                f"{n_dev} visible devices"
+            )
+        n = math.gcd(cfg.training.batch_size, n_dev // n_model)
+        mesh = make_mesh(data_parallel=n, model_parallel=n_model)
     logger = MetricsLogger(workdir)
     ckpt = CheckpointManager(cfg, workdir)
     try:

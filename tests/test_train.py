@@ -87,6 +87,44 @@ def test_train_step_dp_mesh_8_devices():
     )
 
 
+def test_train_step_tp_dp_mesh():
+    """Tensor-parallel "model" axis (4 data x 2 model): the embedding and
+    post-net projection shard per TP_RULES, the Adam moments mirror them,
+    and the TP loss agrees with the single-device loss."""
+    assert len(jax.devices()) == 8
+    cfg = _cfg(batch_size=4)
+    mesh = make_mesh(data_parallel=4, model_parallel=2)
+    assert mesh.devices.shape == (4, 2)
+    batch = _one_batch(cfg)
+    sharded = jax.tree.map(
+        lambda x: jax.device_put(x, batch_sharding(mesh)), batch
+    )
+    state = train_mod.create_state(cfg, mesh)
+
+    def spec(leaf):
+        return tuple(leaf.sharding.spec)
+
+    assert spec(state.params["embedding"]["embedding"]) == (None, "model")
+    assert spec(state.params["linear_proj"]["kernel"]) == ("model", None)
+    # Adam moments mirror the parameter layout (adam is the chain's second
+    # transform, itself a chain whose first element is scale_by_adam).
+    mu = state.opt_state[1][0].mu
+    assert spec(mu["embedding"]["embedding"]) == (None, "model")
+    assert spec(mu["linear_proj"]["bias"]) == ()
+
+    step = train_mod.make_train_step(cfg, mesh)
+    state, metrics = step(state, sharded)
+    assert np.isfinite(float(metrics["loss"]))
+    assert spec(state.params["embedding"]["embedding"]) == (None, "model")
+
+    state1 = train_mod.create_state(cfg)
+    step1 = train_mod.make_train_step(cfg)
+    _, metrics1 = step1(state1, jax.tree.map(jnp.asarray, batch))
+    np.testing.assert_allclose(
+        float(metrics["loss"]), float(metrics1["loss"]), rtol=1e-4
+    )
+
+
 def test_checkpoint_save_restore(tmp_path):
     cfg = _cfg()
     from sstts.checkpoint import CheckpointManager
