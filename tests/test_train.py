@@ -246,6 +246,25 @@ def test_train_driver_end_to_end(tmp_path):
     assert int(jax.device_get(state2.step)) == 8
 
 
+def test_train_driver_tensor_parallel(tmp_path):
+    """Full driver with training.model_parallel=2: the default mesh comes
+    up as (data, model) = (2, 2) on 8 devices (data capped by batch), the
+    TP-sharded state trains, checkpoints, and resumes."""
+    cfg = _cfg()
+    cfg = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, batch_size=2, checkpoint_every=4, summary_every=2,
+            model_parallel=2,
+        )
+    )
+    state = train_mod.train(cfg, workdir=tmp_path, max_steps=4, log_every=2)
+    assert int(jax.device_get(state.step)) == 4
+    spec = tuple(state.params["embedding"]["embedding"].sharding.spec)
+    assert spec == (None, "model"), spec
+    state2 = train_mod.train(cfg, workdir=tmp_path, max_steps=6, log_every=2)
+    assert int(jax.device_get(state2.step)) == 6
+
+
 def test_device_corpus_cached_step_matches_host_step():
     """On-device batch gather (HBM-resident corpus) must reproduce the
     host-fed train step exactly, and valid=0 rows must zero the loss."""
