@@ -9,7 +9,10 @@ Phases: features (STFT/mel), encode, teacher-forced decode scan,
 post-process, full forward (loss), full train step (forward+backward+adam).
 backward+adam ~= step - forward.
 
-Usage: timeout 3600 python scripts/profile_train_chain.py [K]
+Usage: timeout 3600 python scripts/profile_train_chain.py [K] [phase ...]
+Phases: features encode decode_teacher postprocess forward step (default
+all).  Under a degraded remote compile service, run one phase per process
+call to bound each compile (CLAUDE.md compile gotchas).
 """
 
 from __future__ import annotations
@@ -24,8 +27,14 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+_args = sys.argv[1:]
+K = int(_args[0]) if _args and _args[0].isdigit() else 8
+PHASES = set(a for a in _args if not a.isdigit())
 REPS = 5
+
+
+def want(tag: str) -> bool:
+    return not PHASES or tag in PHASES
 
 
 def timed(tag, f, *args):
@@ -100,6 +109,8 @@ def main() -> None:
     results = {}
 
     def phase(tag, f, x):
+        if not want(tag):
+            return
         t = timed(f"{tag} x{K}", chain(f), x, key)
         results[tag] = (t - t_base) / K
 
@@ -154,25 +165,29 @@ def main() -> None:
         )
         return loss
 
-    phase("forward+loss", fwd, samples_f)
+    phase("forward", fwd, samples_f)
 
-    step_body = _make_step_body(cfg)
+    if want("step"):
+        step_body = _make_step_body(cfg)
 
-    def steps_chained(st, b):
-        acc = jnp.float32(0.0)
-        for _ in range(K):
-            st, metrics = step_body(st, b)
-            acc = acc + metrics["loss"]
-        return acc
+        def steps_chained(st, b):
+            acc = jnp.float32(0.0)
+            for _ in range(K):
+                st, metrics = step_body(st, b)
+                acc = acc + metrics["loss"]
+            return acc
 
-    t_step = timed(f"train step x{K}", jax.jit(steps_chained), state, batch)
-    results["train step"] = (t_step - t_base) / K
+        t_step = timed(
+            f"train step x{K}", jax.jit(steps_chained), state, batch
+        )
+        results["step"] = (t_step - t_base) / K
 
     print("\nper-application in-program cost (b=32, T=400):")
     for tag, ms in results.items():
         print(f"  {tag:16s} {ms:7.2f} ms")
-    print(f"  {'bwd+adam (est)':16s} "
-          f"{results['train step'] - results['forward+loss']:7.2f} ms")
+    if "step" in results and "forward" in results:
+        print(f"  {'bwd+adam (est)':16s} "
+              f"{results['step'] - results['forward']:7.2f} ms")
 
 
 if __name__ == "__main__":
