@@ -176,6 +176,12 @@ class TrainingConfig:
     #: HBM budget for the resident corpus (MiB); "auto" falls back to host
     #: feeding beyond this.
     device_corpus_budget_mb: int = 6144
+    #: Resident-corpus storage: "pcm16" (waveforms; the step featurizes on
+    #: device every step — BASELINE config 5's definition) or "features"
+    #: (linear+mel f32 precomputed once at corpus build; skips the
+    #: featurization from the step's critical path — measured 4.1 ms of
+    #: the 12.2 ms in-program step — at ~8x the HBM per utterance).
+    device_corpus_format: str = "pcm16"
     #: Tensor-parallel size of the mesh's "model" axis (1 = pure data
     #: parallelism, the primary strategy at this model scale).  >1 shards
     #: the embedding column-parallel and the post-net projection

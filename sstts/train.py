@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import collections
 import time
+from functools import partial
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -129,8 +130,15 @@ def create_state(
     return jax.jit(init_fn)(rng)
 
 
-def _make_step_body(cfg: Config, mesh: Optional[Mesh] = None):
-    """The un-jitted train step body: (state, batch) -> (state, metrics)."""
+def _make_step_body(
+    cfg: Config, mesh: Optional[Mesh] = None, from_features: bool = False
+):
+    """The un-jitted train step body: (state, batch) -> (state, metrics).
+
+    `from_features=True` expects precomputed "linear"/"mel" batch fields
+    (the feature-format device corpus) instead of "samples" + on-device
+    featurization; the math downstream is identical.
+    """
     model = build_model(cfg, mesh)
     tx = make_optimizer(cfg)
     sched = lr_schedule(cfg)
@@ -139,8 +147,11 @@ def _make_step_body(cfg: Config, mesh: Optional[Mesh] = None):
     def train_step(
         state: TrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
-        samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
-        linear_gt, mel_gt = wav_to_features(samples, cfg.dataset)
+        if from_features:
+            linear_gt, mel_gt = batch["linear"], batch["mel"]
+        else:
+            samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
+            linear_gt, mel_gt = wav_to_features(samples, cfg.dataset)
         total = mel_gt.shape[1]
         frame_mask = frame_mask_from_lengths(batch["n_frames"], total)
         dropout_rng = jax.random.fold_in(base_rng, state.step)
@@ -202,6 +213,18 @@ def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
 
 
 _CORPUS_KEYS = ("char_ids", "text_len", "samples", "n_frames", "loss_frames")
+_CORPUS_KEYS_FEATURES = (
+    "char_ids", "text_len", "linear", "mel", "n_frames", "loss_frames"
+)
+
+
+def corpus_keys(cfg: Config) -> Tuple[str, ...]:
+    fmt = cfg.training.device_corpus_format
+    if fmt == "features":
+        return _CORPUS_KEYS_FEATURES
+    if fmt == "pcm16":
+        return _CORPUS_KEYS
+    raise ValueError(f"unknown device_corpus_format: {fmt!r}")
 
 
 def make_cached_train_step(cfg: Config, mesh: Optional[Mesh] = None):
@@ -215,10 +238,13 @@ def make_cached_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     argument — closing over multi-GB device arrays would bake them into the
     program as constants.
     """
-    train_step = _make_step_body(cfg, mesh)
+    keys = corpus_keys(cfg)
+    train_step = _make_step_body(
+        cfg, mesh, from_features="linear" in keys
+    )
 
     def cached_step(state, corpus, idx, valid):
-        batch = {k: jnp.take(corpus[k], idx, axis=0) for k in _CORPUS_KEYS}
+        batch = {k: jnp.take(corpus[k], idx, axis=0) for k in keys}
         batch["loss_frames"] = jnp.where(
             valid > 0, batch["loss_frames"], 0
         ).astype(batch["loss_frames"].dtype)
@@ -264,6 +290,12 @@ def build_device_corpus(
     shapes = pipeline_mod.frame_bucket_shapes(cfg)
     hop = cfg.dataset.hop_len
     budget = cfg.training.device_corpus_budget_mb * (1 << 20)
+    as_features = corpus_keys(cfg) is _CORPUS_KEYS_FEATURES
+    # f32 linear+mel per padded frame (replaces the PCM16 samples on device).
+    feat_row_bytes = {
+        b: 4 * fr * (cfg.dataset.n_linear + cfg.dataset.n_mels)
+        for b, (_, fr) in enumerate(shapes)
+    }
     rows: Dict[int, list] = {}
     total_bytes = 0
     for u, ids in batcher.examples:
@@ -274,7 +306,11 @@ def build_device_corpus(
             continue
         lt, fr = shapes[bucket]
         row = pipeline_mod.make_batch([(ids, audio)], lt, fr, cfg)
-        total_bytes += sum(v.nbytes for v in row.values())
+        total_bytes += sum(
+            feat_row_bytes[bucket] if as_features and k == "samples"
+            else v.nbytes
+            for k, v in row.items()
+        )
         if total_bytes > budget:
             return None, (
                 f"corpus exceeds the "
@@ -286,17 +322,42 @@ def build_device_corpus(
     if not rows:
         return None, "no utterance fits the configured buckets"
     sharding = replicated_sharding(mesh) if mesh is not None else None
+
+    def put(host):
+        return (
+            jax.device_put(host, sharding)
+            if sharding is not None
+            else jnp.asarray(host)
+        )
+
+    if as_features:
+        # Featurize once at corpus build (on device, bounded chunks so the
+        # f32-waveform transient never exceeds ~chunk x row) and store
+        # linear/mel instead of the PCM16 waveform.  Same wav_to_features
+        # program the step would run — cached and per-step featurization
+        # produce identical features by construction.
+        ds = cfg.dataset
+
+        @partial(jax.jit, out_shardings=(sharding, sharding))
+        def featurize(samples):
+            return jax.lax.map(
+                lambda s: wav_to_features(
+                    s.astype(jnp.float32) * (1.0 / 32767.0), ds
+                ),
+                samples,
+                batch_size=64,
+            )
+
     corpus: Dict[int, Dict[str, jnp.ndarray]] = {}
     counts: Dict[int, int] = {}
     for bucket, items in sorted(rows.items()):
         dev = {}
         for k in list(items[0].keys()):
             host = np.concatenate([r.pop(k) for r in items], axis=0)
-            dev[k] = (
-                jax.device_put(host, sharding)
-                if sharding is not None
-                else jnp.asarray(host)
-            )
+            if as_features and k == "samples":
+                dev["linear"], dev["mel"] = featurize(put(host))
+            else:
+                dev[k] = put(host)
             del host
         corpus[bucket] = dev
         counts[bucket] = len(items)

@@ -316,6 +316,42 @@ def test_device_corpus_cached_step_matches_host_step():
     )
 
 
+def test_device_corpus_features_format_matches_pcm16():
+    """The feature-resident corpus (featurize once at build) must reproduce
+    the PCM16 corpus (featurize every step) to numerical tolerance."""
+    cfg = _cfg(batch_size=2)
+    cfg_f = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, device_corpus_format="features"
+        )
+    )
+    utts = make_utterances(6, cfg.dataset, min_words=1, max_words=2)
+    built, reason = train_mod.build_device_corpus(cfg, utts)
+    assert built is not None, reason
+    built_f, reason_f = train_mod.build_device_corpus(cfg_f, utts)
+    assert built_f is not None, reason_f
+    corpus, counts = built
+    corpus_f, counts_f = built_f
+    assert counts == counts_f
+    bucket = next(iter(sorted(counts)))
+    row = corpus_f[bucket]
+    assert "samples" not in row and "linear" in row and "mel" in row
+
+    idx = np.array([0, 1], np.int32)
+    valid = np.ones(2, np.float32)
+    state = train_mod.create_state(cfg)
+    _, m_pcm = train_mod.make_cached_train_step(cfg)(
+        state, corpus[bucket], idx, valid
+    )
+    state_f = train_mod.create_state(cfg_f)
+    _, m_feat = train_mod.make_cached_train_step(cfg_f)(
+        state_f, corpus_f[bucket], idx, valid
+    )
+    np.testing.assert_allclose(
+        float(m_pcm["loss"]), float(m_feat["loss"]), rtol=1e-5
+    )
+
+
 def test_train_driver_device_corpus_cache(tmp_path):
     """Full driver on the HBM-resident corpus path, including resume."""
     cfg = _cfg()
