@@ -10,8 +10,9 @@ post-process, full forward (loss), full train step (forward+backward+adam).
 backward+adam ~= step - forward.
 
 Usage: timeout 3600 python scripts/profile_train_chain.py [K] [phase ...]
-Phases: features encode decode_teacher postprocess forward step (default
-all).  Under a degraded remote compile service, run one phase per process
+Phases: features encode decode_teacher postprocess forward step
+step_features (default all; step_features is the feature-resident-corpus
+step, no per-step featurization).  Under a degraded remote compile service, run one phase per process
 call to bound each compile (CLAUDE.md compile gotchas).
 """
 
@@ -181,6 +182,29 @@ def main() -> None:
             f"train step x{K}", jax.jit(steps_chained), state, batch
         )
         results["step"] = (t_step - t_base) / K
+
+    if want("step_features"):
+        # The feature-resident corpus path (device_corpus_format="features"):
+        # linear/mel precomputed at corpus build, no per-step featurization.
+        feat_body = _make_step_body(cfg, from_features=True)
+        feat_batch = {
+            k: v for k, v in batch.items() if k != "samples"
+        }
+        feat_batch["linear"] = linear_gt
+        feat_batch["mel"] = mel_gt
+
+        def feat_chained(st, b):
+            acc = jnp.float32(0.0)
+            for _ in range(K):
+                st, metrics = feat_body(st, b)
+                acc = acc + metrics["loss"]
+            return acc
+
+        t_feat = timed(
+            f"train step (features) x{K}", jax.jit(feat_chained),
+            state, feat_batch,
+        )
+        results["step_features"] = (t_feat - t_base) / K
 
     print("\nper-application in-program cost (b=32, T=400):")
     for tag, ms in results.items():

@@ -182,6 +182,13 @@ class TrainingConfig:
     #: featurization from the step's critical path — measured 4.1 ms of
     #: the 12.2 ms in-program step — at ~8x the HBM per utterance).
     device_corpus_format: str = "pcm16"
+    #: Train steps executed inside ONE jitted dispatch (`lax.scan` over
+    #: on-device batch gathers; requires the HBM-resident corpus).  The
+    #: sustained driver rate is relay/host-dispatch-bound (~21-29 ms per
+    #: call, BASELINE.md), so S steps per call amortize that floor S-fold.
+    #: Per-bucket epoch remainders (and the tail up to max_steps) run
+    #: through the single-step program, so any step count is reachable.
+    steps_per_call: int = 1
     #: Tensor-parallel size of the mesh's "model" axis (1 = pure data
     #: parallelism, the primary strategy at this model scale).  >1 shards
     #: the embedding column-parallel and the post-net projection

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 import optax
 from flax import struct
-from jax.sharding import Mesh
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from sstts.checkpoint import CheckpointManager
 from sstts.config import Config
@@ -263,6 +263,47 @@ def make_cached_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     return jax.jit(cached_step, donate_argnums=(0,))
 
 
+def make_grouped_train_step(cfg: Config, mesh: Optional[Mesh] = None):
+    """S train steps in ONE dispatch (`training.steps_per_call`).
+
+    `lax.scan` over (idxs (S, B), valids (S, B)): each iteration gathers its
+    batch from the HBM-resident corpus on device and applies the same step
+    body as make_cached_train_step, so the only host interaction for S
+    steps is a single dispatch — the lever against the relay's per-call
+    overhead floor (CLAUDE.md; BASELINE.md "sustained driver rate is
+    relay-dispatch-bound").  Returns (state, metrics) with every metric
+    stacked to (S,); slice on host only when logging is due (an eager
+    device-side slice would itself cost a dispatch).
+    """
+    keys = corpus_keys(cfg)
+    train_step = _make_step_body(
+        cfg, mesh, from_features="linear" in keys
+    )
+
+    def grouped_step(state, corpus, idxs, valids):
+        def body(st, iv):
+            idx, valid = iv
+            batch = {k: jnp.take(corpus[k], idx, axis=0) for k in keys}
+            batch["loss_frames"] = jnp.where(
+                valid > 0, batch["loss_frames"], 0
+            ).astype(batch["loss_frames"].dtype)
+            return train_step(st, batch)
+
+        return jax.lax.scan(body, state, (idxs, valids))
+
+    if mesh is not None:
+        st = train_state_shardings(cfg, mesh)
+        repl = replicated_sharding(mesh)
+        gdata = NamedSharding(mesh, P(None, "data"))
+        return jax.jit(
+            grouped_step,
+            in_shardings=(st, repl, gdata, gdata),
+            out_shardings=(st, repl),
+            donate_argnums=(0,),
+        )
+    return jax.jit(grouped_step, donate_argnums=(0,))
+
+
 def build_device_corpus(
     cfg: Config,
     utts,
@@ -385,6 +426,64 @@ def cached_epoch_indices(
             order.append((bucket, chunk.astype(np.int32), valid))
     rng.shuffle(order)
     yield from order
+
+
+def grouped_epoch_indices(
+    counts: Dict[int, int], batch_size: int, steps_per_call: int, seed: int
+):
+    """cached_epoch_indices grouped for the multi-step program: yields
+    ("grouped", bucket, idxs (S, B), valids (S, B)) for full same-bucket
+    runs of S batches, and ("single", bucket, idx (B,), valid (B,)) for
+    each bucket's per-epoch remainder.  Same coverage contract: every
+    corpus row appears exactly once per epoch (fill rows carry valid=0)."""
+    rng = np.random.default_rng(seed)
+    S = steps_per_call
+    ops = []
+    for bucket, n in sorted(counts.items()):
+        perm = rng.permutation(n)
+        chunks = []
+        for start in range(0, n, batch_size):
+            chunk = perm[start : start + batch_size]
+            valid = np.ones(batch_size, np.float32)
+            if len(chunk) < batch_size:
+                valid[len(chunk) :] = 0.0
+                fill = chunk[
+                    np.arange(batch_size - len(chunk)) % len(chunk)
+                ]
+                chunk = np.concatenate([chunk, fill])
+            chunks.append((chunk.astype(np.int32), valid))
+        n_full = len(chunks) - len(chunks) % S
+        for i in range(0, n_full, S):
+            grp = chunks[i : i + S]
+            ops.append((
+                "grouped", bucket,
+                np.stack([c for c, _ in grp]),
+                np.stack([v for _, v in grp]),
+            ))
+        for c, v in chunks[n_full:]:
+            ops.append(("single", bucket, c, v))
+    rng.shuffle(ops)
+    yield from ops
+
+
+def _clamp_grouped_ops(ops, budget: int):
+    """Decompose grouped ops into singles where a full group would overshoot
+    the remaining step budget, and stop once the budget is covered — so
+    `train(max_steps=N)` lands exactly on N for any steps_per_call."""
+    used = 0
+    for op in ops:
+        if used >= budget:
+            return
+        if op[0] == "grouped" and used + len(op[2]) > budget:
+            _, bucket, idxs, valids = op
+            for i in range(len(idxs)):
+                yield ("single", bucket, idxs[i], valids[i])
+                used += 1
+                if used >= budget:
+                    return
+            continue
+        used += len(op[2]) if op[0] == "grouped" else 1
+        yield op
 
 
 def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
@@ -595,41 +694,73 @@ def _train_loop(
     step = int(jax.device_get(state.step))
     epoch = 0
     last_eval = step
+    last_log_step = step
     t_last = time.time()
+    # Multi-step dispatch (training.steps_per_call > 1): S steps ride one
+    # jitted call; log/checkpoint cadences fire on threshold crossings so
+    # they behave identically for any S.
+    S = max(1, int(cfg.training.steps_per_call)) if corpus is not None else 1
+    grouped_step = make_grouped_train_step(cfg, mesh) if S > 1 else None
     while step < max_steps:
         epoch_batches = 0
         if corpus is not None:
-            batch_iter = (
-                (
-                    bucket,
-                    (corpus[bucket], jnp.asarray(idx), jnp.asarray(valid)),
+            if S > 1:
+                ops = _clamp_grouped_ops(
+                    grouped_epoch_indices(
+                        counts, cfg.training.batch_size, S,
+                        cfg.training.seed + epoch,
+                    ),
+                    max_steps - step,
                 )
-                for bucket, idx, valid in cached_epoch_indices(
-                    counts, cfg.training.batch_size,
-                    cfg.training.seed + epoch,
-                )
-            )
-        else:
-            batch_iter = _prefetch_to_device(
-                batcher.epoch(
-                    cfg.training.seed + epoch, cfg.training.batch_size
-                ),
-                data_shard,
-            )
-        for _, batch in batch_iter:
-            epoch_batches += 1
-            if corpus is not None:
-                state, metrics = cached_step(state, *batch)
             else:
-                state, metrics = train_step(state, batch)
-            step += 1
-            if step % log_every == 0:
-                metrics = jax.device_get(metrics)
+                ops = (
+                    ("single", bucket, idx, valid)
+                    for bucket, idx, valid in cached_epoch_indices(
+                        counts, cfg.training.batch_size,
+                        cfg.training.seed + epoch,
+                    )
+                )
+        else:
+            ops = (
+                ("host", None, batch, None)
+                for _, batch in _prefetch_to_device(
+                    batcher.epoch(
+                        cfg.training.seed + epoch, cfg.training.batch_size
+                    ),
+                    data_shard,
+                )
+            )
+        for op in ops:
+            epoch_batches += 1
+            kind, bucket, a, b = op
+            if kind == "host":
+                state, metrics = train_step(state, a)
+                ns = 1
+            elif kind == "single":
+                state, metrics = cached_step(
+                    state, corpus[bucket], jnp.asarray(a), jnp.asarray(b)
+                )
+                ns = 1
+            else:
+                ns = len(a)
+                state, metrics = grouped_step(
+                    state, corpus[bucket], jnp.asarray(a), jnp.asarray(b)
+                )
+            step += ns
+            if step // log_every != (step - ns) // log_every:
+                metrics = {
+                    k: float(np.asarray(v).reshape(-1)[-1])
+                    for k, v in jax.device_get(metrics).items()
+                }
                 now = time.time()
-                metrics["steps_per_s"] = log_every / max(now - t_last, 1e-9)
+                metrics["steps_per_s"] = (
+                    (step - last_log_step) / max(now - t_last, 1e-9)
+                )
+                last_log_step = step
                 t_last = now
                 logger.log(step, metrics)
-            if step % cfg.training.checkpoint_every == 0:
+            ckpt_every = cfg.training.checkpoint_every
+            if step // ckpt_every != (step - ns) // ckpt_every:
                 ckpt.save(step, state)
             if step >= max_steps:
                 break

@@ -352,6 +352,83 @@ def test_device_corpus_features_format_matches_pcm16():
     )
 
 
+def test_grouped_step_matches_sequential_cached_steps():
+    """S steps in one dispatch (lax.scan) must match S sequential
+    single-step dispatches: same loss trajectory, same final params."""
+    cfg = _cfg(batch_size=2)
+    utts = make_utterances(6, cfg.dataset, min_words=1, max_words=2)
+    built, reason = train_mod.build_device_corpus(cfg, utts)
+    assert built is not None, reason
+    corpus, counts = built
+    bucket = next(iter(sorted(counts)))
+    n = counts[bucket]
+    rng = np.random.default_rng(0)
+    S = 3
+    idxs = rng.integers(0, n, (S, 2)).astype(np.int32)
+    valids = np.ones((S, 2), np.float32)
+    valids[-1, -1] = 0.0
+
+    state_a = train_mod.create_state(cfg)
+    cached = train_mod.make_cached_train_step(cfg)
+    losses_seq = []
+    for i in range(S):
+        state_a, m = cached(state_a, corpus[bucket], idxs[i], valids[i])
+        losses_seq.append(float(m["loss"]))
+
+    state_b = train_mod.create_state(cfg)
+    grouped = train_mod.make_grouped_train_step(cfg)
+    state_b, metrics = grouped(state_b, corpus[bucket], idxs, valids)
+    np.testing.assert_allclose(
+        np.asarray(metrics["loss"]), losses_seq, rtol=1e-5
+    )
+    # XLA compiles the scan body with different fusion than the standalone
+    # step, so f32 reassociation jitter amplified through Adam's normalized
+    # updates (~lr-scale each) leaves ~1e-4-scale absolute differences after
+    # S steps (measured max 7e-5 at S=3, lr=2e-3) — numerical, not semantic.
+    jax.tree.map(
+        lambda x, y: np.testing.assert_allclose(
+            np.asarray(x), np.asarray(y), atol=3e-4
+        ),
+        state_a.params, state_b.params,
+    )
+
+
+def test_grouped_epoch_indices_coverage():
+    """Grouped epoch ops cover every corpus row exactly once (valid rows),
+    with full groups shaped (S, B) and remainders as singles."""
+    counts = {0: 7, 1: 4}
+    S, B = 2, 2
+    seen = {0: [], 1: []}
+    for op in train_mod.grouped_epoch_indices(counts, B, S, seed=0):
+        kind, bucket = op[0], op[1]
+        if kind == "grouped":
+            idxs, valids = op[2], op[3]
+            assert idxs.shape == (S, B) and valids.shape == (S, B)
+            seen[bucket].extend(idxs[valids > 0].tolist())
+        else:
+            idx, valid = op[2], op[3]
+            assert idx.shape == (B,) and valid.shape == (B,)
+            seen[bucket].extend(idx[valid > 0].tolist())
+    for bucket, n in counts.items():
+        assert sorted(seen[bucket]) == list(range(n))
+
+
+def test_train_driver_steps_per_call(tmp_path):
+    """Driver with multi-step dispatch: exact max_steps landing (clamp path)
+    and resume across processes."""
+    cfg = _cfg()
+    cfg = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, batch_size=2, checkpoint_every=5, summary_every=2,
+            device_corpus_cache="on", steps_per_call=3,
+        )
+    )
+    state = train_mod.train(cfg, workdir=tmp_path, max_steps=7, log_every=2)
+    assert int(jax.device_get(state.step)) == 7
+    state2 = train_mod.train(cfg, workdir=tmp_path, max_steps=10, log_every=2)
+    assert int(jax.device_get(state2.step)) == 10
+
+
 def test_train_driver_device_corpus_cache(tmp_path):
     """Full driver on the HBM-resident corpus path, including resume."""
     cfg = _cfg()
