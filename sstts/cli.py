@@ -145,11 +145,7 @@ def main(argv=None) -> int:
         return 0
 
     if args.command == "synthesize":
-        import jax
-
-        from sstts.checkpoint import CheckpointManager
         from sstts.synthesize import Synthesizer
-        from sstts.train import create_state
 
         texts = list(args.text)
         if args.text_file:
@@ -169,12 +165,11 @@ def main(argv=None) -> int:
                 "synthesis_<i>.wav files under the workdir output dir",
                 file=sys.stderr,
             )
-        ckpt = CheckpointManager(cfg, args.workdir)
-        step, state = ckpt.restore_latest(jax.device_get(create_state(cfg)))
-        if step is None:
+        try:
+            synth = Synthesizer.from_checkpoint(cfg, args.workdir)
+        except FileNotFoundError:
             print(f"no checkpoint under {args.workdir}", file=sys.stderr)
             return 1
-        synth = Synthesizer(cfg, state.params, state.batch_stats)
         from pathlib import Path
 
         from sstts.data.wav import save_wav
@@ -201,7 +196,6 @@ def main(argv=None) -> int:
                 path = outdir / f"synthesis_{i}.wav"
                 save_wav(path, wav, cfg.dataset.sample_rate)
                 print(f"wrote {path}")
-        ckpt.close()
         return 0
 
     return 2

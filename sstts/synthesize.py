@@ -138,6 +138,29 @@ class Synthesizer:
             static_argnames=("size",),
         )
 
+    @classmethod
+    def from_checkpoint(cls, cfg: Config, workdir, **kw) -> "Synthesizer":
+        """Load the latest checkpoint under `workdir` and build a
+        Synthesizer from it (the reference inference.py's load-and-serve
+        entry, SURVEY.md §3.2; same restore path as `sstts.cli synthesize`).
+
+        Raises FileNotFoundError when no checkpoint exists."""
+        import jax as _jax
+
+        from sstts.checkpoint import CheckpointManager
+        from sstts.train import create_state
+
+        ckpt = CheckpointManager(cfg, workdir)
+        try:
+            step, state = ckpt.restore_latest(
+                _jax.device_get(create_state(cfg))
+            )
+        finally:
+            ckpt.close()
+        if step is None:
+            raise FileNotFoundError(f"no checkpoint under {workdir}")
+        return cls(cfg, state.params, state.batch_stats, **kw)
+
     def _shard_map_program(
         self, variables, char_ids, rng, max_steps: int, lite: bool = False
     ):

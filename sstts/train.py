@@ -11,7 +11,7 @@ from __future__ import annotations
 
 import collections
 import time
-from functools import partial
+from functools import lru_cache, partial
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
 from typing import Any, Dict, Iterator, Optional, Tuple
@@ -116,18 +116,24 @@ def train_state_shardings(cfg: Config, mesh: Mesh) -> TrainState:
     return state_shardings(mesh, shapes)
 
 
+@lru_cache(maxsize=None)
+def _jitted_init(cfg: Config, mesh: Optional[Mesh]):
+    """Memoized jitted init program — see make_train_step's rationale."""
+    init_fn = _make_init_fn(cfg, mesh)
+    if mesh is not None:
+        return jax.jit(
+            init_fn, out_shardings=train_state_shardings(cfg, mesh)
+        )
+    return jax.jit(init_fn)
+
+
 def create_state(
     cfg: Config, mesh: Optional[Mesh] = None, seed: Optional[int] = None
 ) -> TrainState:
     """Initialize params/opt state under jit (eager init is pathologically
     slow through the device relay — one compiled program instead)."""
-    init_fn = _make_init_fn(cfg, mesh)
     rng = jax.random.PRNGKey(cfg.training.seed if seed is None else seed)
-    if mesh is not None:
-        return jax.jit(
-            init_fn, out_shardings=train_state_shardings(cfg, mesh)
-        )(rng)
-    return jax.jit(init_fn)(rng)
+    return _jitted_init(cfg, mesh)(rng)
 
 
 def _make_step_body(
@@ -191,12 +197,19 @@ def _make_step_body(
     return train_step
 
 
+@lru_cache(maxsize=None)
 def make_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     """Build the jitted train step.  Signature: (state, batch) -> (state, metrics).
 
     The dropout rng derives from `state.step` (deterministic, resume-stable).
     Features (STFT -> linear/mel) are computed inside the step on device from
     raw waveforms (BASELINE config 5).
+
+    Memoized on (cfg, mesh) — both hash by value — so repeat builders (test
+    suites, resumed drivers, eval tooling) reuse one jit instance and its
+    compile cache instead of recompiling a multi-minute XLA program.  (The
+    cached object is a jit wrapper, never device data — the lru_cache
+    tracer-leak rule in CLAUDE.md concerns data helpers.)
     """
     train_step = _make_step_body(cfg, mesh)
     if mesh is not None:
@@ -227,8 +240,10 @@ def corpus_keys(cfg: Config) -> Tuple[str, ...]:
     raise ValueError(f"unknown device_corpus_format: {fmt!r}")
 
 
+@lru_cache(maxsize=None)
 def make_cached_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     """Train step over the HBM-resident corpus (SURVEY.md §3.1 rebuild note).
+    Memoized on (cfg, mesh) — see make_train_step.
 
     Signature: (state, corpus_bucket, idx, valid) -> (state, metrics), where
     `corpus_bucket` is one bucket's device-resident example tensors
@@ -263,8 +278,10 @@ def make_cached_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     return jax.jit(cached_step, donate_argnums=(0,))
 
 
+@lru_cache(maxsize=None)
 def make_grouped_train_step(cfg: Config, mesh: Optional[Mesh] = None):
     """S train steps in ONE dispatch (`training.steps_per_call`).
+    Memoized on (cfg, mesh) — see make_train_step.
 
     `lax.scan` over (idxs (S, B), valids (S, B)): each iteration gathers its
     batch from the HBM-resident corpus on device and applies the same step
@@ -486,8 +503,10 @@ def _clamp_grouped_ops(ops, budget: int):
         yield op
 
 
+@lru_cache(maxsize=None)
 def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
     """Teacher-forced eval (no grads, running BN stats, no dropout).
+    Memoized on (cfg, mesh) — see make_train_step.
 
     `mesh` only pins the XLA GRU backend under multi-device GSPMD (same
     constraint as make_train_step); the step itself is a plain jit."""
@@ -737,15 +756,17 @@ def _train_loop(
                 state, metrics = train_step(state, a)
                 ns = 1
             elif kind == "single":
-                state, metrics = cached_step(
-                    state, corpus[bucket], jnp.asarray(a), jnp.asarray(b)
-                )
+                # idx/valid ride as raw numpy jit arguments: the transfer
+                # folds into the async dispatch.  An eager jnp.asarray here
+                # is a BLOCKING host->device round-trip per array — measured
+                # 9.3 steps/s vs 96 steps/s for the identical program with
+                # argument-folded transfers in the same degraded relay
+                # window (2026-08-17).
+                state, metrics = cached_step(state, corpus[bucket], a, b)
                 ns = 1
             else:
                 ns = len(a)
-                state, metrics = grouped_step(
-                    state, corpus[bucket], jnp.asarray(a), jnp.asarray(b)
-                )
+                state, metrics = grouped_step(state, corpus[bucket], a, b)
             step += ns
             if step // log_every != (step - ns) // log_every:
                 metrics = {
