@@ -183,11 +183,16 @@ class TrainingConfig:
     #: the 12.2 ms in-program step — at ~8x the HBM per utterance).
     device_corpus_format: str = "pcm16"
     #: Train steps executed inside ONE jitted dispatch (`lax.scan` over
-    #: on-device batch gathers; requires the HBM-resident corpus).  The
-    #: sustained driver rate is relay/host-dispatch-bound (~21-29 ms per
-    #: call, BASELINE.md), so S steps per call amortize that floor S-fold.
-    #: Per-bucket epoch remainders (and the tail up to max_steps) run
-    #: through the single-step program, so any step count is reachable.
+    #: on-device batch gathers; requires the HBM-resident corpus).  S steps
+    #: per call amortize the per-dispatch overhead floor S-fold — the lever
+    #: when dispatch is the binding cost (degraded relay windows pin the
+    #: single-step driver at the ~44 ms/call floor).  Per-bucket epoch
+    #: remainders (and the tail up to max_steps) run through the
+    #: single-step program, so any step count is reachable.  HBM note: the
+    #: grouped program's temps exceed the single-step program's by ~1 GiB
+    #: at flagship shapes, so S>1 pairs with the "pcm16" corpus format — a
+    #: near-budget "features" corpus (~5 GiB) plus the grouped program
+    #: exceeds a v5e's 16 GiB (measured: program 11.8G + args 4.9G OOM).
     steps_per_call: int = 1
     #: Tensor-parallel size of the mesh's "model" axis (1 = pure data
     #: parallelism, the primary strategy at this model scale).  >1 shards
