@@ -117,6 +117,12 @@ def main() -> None:
 
     phase("features", lambda s, r: wav_to_features(s, cfg.dataset)[0],
           samples_f)
+    # training.feature_fft_impl candidates: |STFT| as support-reduced
+    # window-folded DFT GEMMs (sstts.dsp.ops._stft_magnitude_dft).
+    for impl in ("dft_high", "dft_default"):
+        phase(f"features_{impl}",
+              lambda s, r, i=impl: wav_to_features(s, cfg.dataset, i)[0],
+              samples_f)
 
     from sstts.model.tacotron import Tacotron
 
@@ -182,6 +188,30 @@ def main() -> None:
             f"train step x{K}", jax.jit(steps_chained), state, batch
         )
         results["step"] = (t_step - t_base) / K
+
+    if want("step_dft"):
+        # Full train step with training.feature_fft_impl="dft_high".
+        import dataclasses
+
+        dft_cfg = cfg.replace(
+            training=dataclasses.replace(
+                cfg.training, feature_fft_impl="dft_high"
+            )
+        )
+        dft_body = _make_step_body(dft_cfg)
+
+        def dft_chained(st, b):
+            acc = jnp.float32(0.0)
+            for _ in range(K):
+                st, metrics = dft_body(st, b)
+                acc = acc + metrics["loss"]
+            return acc
+
+        t_dft = timed(
+            f"train step (dft_high feats) x{K}", jax.jit(dft_chained),
+            state, batch,
+        )
+        results["step_dft"] = (t_dft - t_base) / K
 
     if want("step_features"):
         # The feature-resident corpus path (device_corpus_format="features"):

@@ -111,6 +111,15 @@ class ArchitectureConfig:
     #: synthesis prepare; train step within noise), so the default is the
     #: exact K-conv form.  The fused path stays available and tested.
     fused_conv_bank: bool = False
+    #: Rematerialize the teacher-forced decoder scan body in the backward
+    #: pass (`flax.linen.remat` around the per-step cell): activation HBM
+    #: for the longest scan in the train step drops from O(steps x cell
+    #: internals) to O(steps x carry) at the cost of recomputing the cell
+    #: forward during backprop — the standard TPU FLOPs-for-HBM trade for
+    #: fitting bigger batches/corpora (e.g. steps_per_call>1 next to a
+    #: large resident corpus).  Identical loss/grads (tested); checkpoint-
+    #: compatible (excluded from the fingerprint).
+    remat_decoder: bool = False
     # Decoder.
     #: "bahdanau" (reference default) or "local_luong" (thesis variant).
     attention_type: str = "bahdanau"
@@ -166,6 +175,17 @@ class TrainingConfig:
     frame_buckets: Tuple[int, ...] = (256, 512, 768, 1024)
     #: Compute features (STFT/mel/dB) on device inside the train step.
     on_device_features: bool = True
+    #: FFT implementation for the training/eval feature extraction
+    #: (`dsp.ops.wav_to_features`): "default" (XLA FFT, the golden-tested
+    #: oracle path) or "dft_default"/"dft_high"/"dft_highest" — |STFT| as
+    #: two direct support-reduced window-folded DFT GEMMs on the MXU
+    #: (46% less contraction work at the default hparams; the Griffin-Lim
+    #: loop's formulation applied to the analysis side).  Precision ladder:
+    #: dft_highest ~ f32-exact, dft_high ~1e-6 feature error, dft_default
+    #: one bf16 pass.  Training-only perf knob: never part of the
+    #: checkpoint fingerprint; the offline feature cache and the golden
+    #: DSP tests always use "default".
+    feature_fft_impl: str = "default"
     #: Keep the whole bucketed PCM16 corpus resident in device HBM and
     #: gather batches on device ("auto" = when it fits the budget below;
     #: "on" = require it; "off" = host feeding).  Removes the per-step
@@ -302,6 +322,7 @@ class Config:
         "arch": frozenset(
             {
                 "fused_conv_bank",
+                "remat_decoder",
                 "loss_low_freq_weight",
                 "loss_low_freq_hz",
                 "stop_token_weight",

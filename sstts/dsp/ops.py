@@ -132,8 +132,47 @@ def mulaw_decode_host(u8: np.ndarray, mu: float = 255.0) -> np.ndarray:
     ).astype(np.float32)
 
 
+def _stft_magnitude_dft(
+    y: jnp.ndarray, cfg: DatasetConfig, precision
+) -> jnp.ndarray:
+    """Magnitude STFT as two support-reduced window-folded GEMMs (MXU path).
+
+    Feature extraction needs |STFT| only, so the transform runs as a direct
+    real DFT restricted to the window's non-zero support (win_len taps inside
+    n_fft — 46% less GEMM work at the default hparams) with the Hann window
+    folded into the matrices (`sstts.dsp.fft._rdft_matrices_windowed`, the
+    same formulation the Griffin-Lim loop uses).  Matches `stft` + `abs` to
+    f32 accuracy at HIGHEST precision (tested); framing/padding semantics are
+    identical (librosa-style reflect pad + centered frames).
+    """
+    from sstts.dsp import fft as mmfft
+
+    n_fft = cfg.n_fft
+    pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
+    y = jnp.pad(y, pad, mode="reflect")
+    frames = stft_mod.frame_signal(y, n_fft, cfg.hop_len)
+    window = stft_mod._window(n_fft, cfg.win_len)
+    lo, w_len, cos_w, nsin_w, _, _ = mmfft._rdft_matrices_windowed(
+        n_fft, window
+    )
+    seg = frames[..., lo : lo + w_len]
+    mm = lambda a, b: jnp.matmul(  # noqa: E731
+        a, b, precision=precision, preferred_element_type=jnp.float32
+    )
+    re = mm(seg, cos_w)
+    im = mm(seg, nsin_w)
+    return jnp.sqrt(re * re + im * im)
+
+
+_FEATURE_FFT_PRECISION = {
+    "dft_default": jax.lax.Precision.DEFAULT,
+    "dft_high": jax.lax.Precision.HIGH,
+    "dft_highest": jax.lax.Precision.HIGHEST,
+}
+
+
 def wav_to_features(
-    y: jnp.ndarray, cfg: DatasetConfig
+    y: jnp.ndarray, cfg: DatasetConfig, fft_impl: str = "default"
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """(..., n_samples) waveform -> (linear, mel) normalized spectrograms.
 
@@ -141,10 +180,18 @@ def wav_to_features(
     SURVEY.md §3.4).  Returns
     linear: (..., n_frames, n_fft//2+1), mel: (..., n_frames, n_mels),
     both normalized to [0, 1].
+
+    `fft_impl` selects the transform: "default" (XLA FFT, the golden-tested
+    oracle path) or "dft_default"/"dft_high"/"dft_highest" — a direct
+    support-reduced DFT as MXU GEMMs (`_stft_magnitude_dft`), the perf knob
+    behind `training.feature_fft_impl`.
     """
     y = preemphasis(y.astype(jnp.float32), cfg.preemphasis)
-    spec = stft_mod.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)
-    mag = jnp.abs(spec)
+    if fft_impl == "default":
+        spec = stft_mod.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)
+        mag = jnp.abs(spec)
+    else:
+        mag = _stft_magnitude_dft(y, cfg, _FEATURE_FFT_PRECISION[fft_impl])
     linear = normalize_decibel(
         magnitude_to_decibel(mag), cfg.ref_level_db, cfg.min_level_db
     )

@@ -135,6 +135,11 @@ class Tacotron(nn.Module):
                     carry, pre_t, memory, keys, memory_mask
                 )
 
+            if self.arch.remat_decoder:
+                # FLOPs-for-HBM: save only the carry per step, recompute
+                # the cell forward during backprop (arch.remat_decoder).
+                # prevent_cse=False is the recommended setting under scan.
+                step = nn.remat(step, prevent_cse=False)
             scan = nn.scan(
                 step,
                 variable_broadcast="params",

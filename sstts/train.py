@@ -157,7 +157,9 @@ def _make_step_body(
             linear_gt, mel_gt = batch["linear"], batch["mel"]
         else:
             samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
-            linear_gt, mel_gt = wav_to_features(samples, cfg.dataset)
+            linear_gt, mel_gt = wav_to_features(
+                samples, cfg.dataset, cfg.training.feature_fft_impl
+            )
         total = mel_gt.shape[1]
         frame_mask = frame_mask_from_lengths(batch["n_frames"], total)
         dropout_rng = jax.random.fold_in(base_rng, state.step)
@@ -400,7 +402,8 @@ def build_device_corpus(
         def featurize(samples):
             return jax.lax.map(
                 lambda s: wav_to_features(
-                    s.astype(jnp.float32) * (1.0 / 32767.0), ds
+                    s.astype(jnp.float32) * (1.0 / 32767.0), ds,
+                    cfg.training.feature_fft_impl,
                 ),
                 samples,
                 batch_size=64,
@@ -514,7 +517,9 @@ def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
 
     def eval_step(state: TrainState, batch):
         samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
-        linear_gt, mel_gt = wav_to_features(samples, cfg.dataset)
+        linear_gt, mel_gt = wav_to_features(
+            samples, cfg.dataset, cfg.training.feature_fft_impl
+        )
         frame_mask = frame_mask_from_lengths(batch["n_frames"], mel_gt.shape[1])
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},

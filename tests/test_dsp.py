@@ -157,6 +157,27 @@ def test_features_match_oracle_end_to_end(cfg, rng):
     assert np.abs(np.asarray(lin) - want_lin).max() < 1e-2
 
 
+@pytest.mark.parametrize("cfg", [CFG, FULL], ids=["small", "full"])
+def test_features_dft_impl_matches_default(cfg, rng):
+    """training.feature_fft_impl's support-reduced DFT-GEMM path computes
+    the same features as the XLA-FFT default (f32 precision ladder rung)."""
+    y = np.stack(
+        [_signal(cfg.sample_rate, cfg.sample_rate, rng) for _ in range(3)]
+    )
+    lin0, mel0 = ops.wav_to_features(jnp.asarray(y, jnp.float32), cfg)
+    lin1, mel1 = ops.wav_to_features(
+        jnp.asarray(y, jnp.float32), cfg, fft_impl="dft_highest"
+    )
+    assert lin1.shape == lin0.shape and mel1.shape == mel0.shape
+    # Near-silent bins sit on the dB floor where log10 amplifies f32
+    # rounding, so the max tolerance is looser than the ~1e-5 typical error
+    # (same structure as the golden gate: tight mean, loose max).
+    dlin = np.abs(np.asarray(lin1) - np.asarray(lin0))
+    dmel = np.abs(np.asarray(mel1) - np.asarray(mel0))
+    assert dlin.mean() < 1e-5 and dlin.max() < 2e-3
+    assert dmel.mean() < 1e-5 and dmel.max() < 2e-3
+
+
 def test_overlap_add_inverts_framing(rng):
     y = rng.standard_normal((2, 3000)).astype(np.float32)
     frames = stft_mod.frame_signal(jnp.asarray(y), 512, 100)

@@ -444,6 +444,48 @@ def test_train_driver_device_corpus_cache(tmp_path):
     assert int(jax.device_get(state2.step)) == 8
 
 
+def test_remat_decoder_matches():
+    """arch.remat_decoder changes activation memory, not math: one train
+    step produces the same loss and gradients as the default path."""
+    cfg = _cfg()
+    rcfg = cfg.replace(
+        arch=dataclasses.replace(cfg.arch, remat_decoder=True)
+    )
+    assert rcfg.fingerprint() == cfg.fingerprint()
+    batch = jax.tree.map(jnp.asarray, _one_batch(cfg))
+    s0 = train_mod.create_state(cfg)
+    s1 = train_mod.create_state(rcfg)
+    _, m0 = train_mod.make_train_step(cfg)(s0, batch)
+    _, m1 = train_mod.make_train_step(rcfg)(s1, batch)
+    np.testing.assert_allclose(
+        float(m0["loss"]), float(m1["loss"]), rtol=1e-6
+    )
+    np.testing.assert_allclose(
+        float(m0["grad_norm"]), float(m1["grad_norm"]), rtol=1e-5
+    )
+
+
+def test_feature_fft_impl_train_step():
+    """training.feature_fft_impl swaps the featurization transform, not the
+    training math: the fingerprint is stable and one step's loss matches the
+    default path to f32 accuracy (dft_highest rung)."""
+    cfg = _cfg()
+    fcfg = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, feature_fft_impl="dft_highest"
+        )
+    )
+    assert fcfg.fingerprint() == cfg.fingerprint()
+    batch = jax.tree.map(jnp.asarray, _one_batch(cfg))
+    s0 = train_mod.create_state(cfg)
+    s1 = train_mod.create_state(fcfg)
+    _, m0 = train_mod.make_train_step(cfg)(s0, batch)
+    _, m1 = train_mod.make_train_step(fcfg)(s1, batch)
+    np.testing.assert_allclose(
+        float(m0["loss"]), float(m1["loss"]), rtol=1e-5
+    )
+
+
 def test_bfloat16_compute_path():
     """compute_dtype=bfloat16: train step runs, finite, roughly tracks f32."""
     cfg = _cfg()
