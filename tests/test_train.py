@@ -393,6 +393,37 @@ def test_grouped_step_matches_sequential_cached_steps():
     )
 
 
+def test_grouped_step_with_remat_decoder():
+    """The motivated combination (docs/performance.md HBM note): grouped
+    multi-step dispatch over a features-format corpus with the decoder scan
+    rematerialized.  Same losses as the non-remat grouped program."""
+    cfg = _cfg(batch_size=2)
+    cfg = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, device_corpus_format="features", steps_per_call=2
+        )
+    )
+    rcfg = cfg.replace(
+        arch=dataclasses.replace(cfg.arch, remat_decoder=True)
+    )
+    utts = make_utterances(4, cfg.dataset, min_words=1, max_words=2)
+    built, reason = train_mod.build_device_corpus(cfg, utts)
+    assert built is not None, reason
+    corpus, counts = built
+    bucket = next(iter(sorted(counts)))
+    idxs = np.array([[0, 1], [2, 3]], np.int32) % counts[bucket]
+    valids = np.ones((2, 2), np.float32)
+    _, m0 = train_mod.make_grouped_train_step(cfg)(
+        train_mod.create_state(cfg), corpus[bucket], idxs, valids
+    )
+    _, m1 = train_mod.make_grouped_train_step(rcfg)(
+        train_mod.create_state(rcfg), corpus[bucket], idxs, valids
+    )
+    np.testing.assert_allclose(
+        np.asarray(m0["loss"]), np.asarray(m1["loss"]), rtol=1e-5
+    )
+
+
 def test_grouped_epoch_indices_coverage():
     """Grouped epoch ops cover every corpus row exactly once (valid rows),
     with full groups shaped (S, B) and remainders as singles."""
