@@ -16,6 +16,7 @@ Defaults: S=8, n_rows=2816 (~4.9 GiB features corpus at 400 frames).
 from __future__ import annotations
 
 import dataclasses
+import os
 import sys
 import time
 from pathlib import Path
@@ -23,6 +24,12 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
+
+# SSTTS_PLATFORM=cpu validates the script's plumbing without the TPU relay
+# (the numbers are then CPU-compiler accounting, not v5e HBM).
+if os.environ.get("SSTTS_PLATFORM"):
+    jax.config.update("jax_platforms", os.environ["SSTTS_PLATFORM"])
+
 import jax.numpy as jnp
 import numpy as np
 
