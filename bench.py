@@ -22,10 +22,44 @@ import jax
 import numpy as np
 
 
+def _require_backend(timeout_s: float = 300.0) -> None:
+    """Fail fast (clear message, rc 1) when the TPU relay is down.
+
+    Backend init normally takes seconds; during a full relay outage it
+    blocks ~25 minutes before raising UNAVAILABLE (observed 2026-08-17,
+    CLAUDE.md).  Bounding it keeps the bench's failure mode prompt and
+    diagnosable instead of an opaque hang.  Compiles are NOT bounded here —
+    a degraded-but-alive compile service may take minutes and still yield
+    a valid measurement.
+    """
+    import threading
+
+    result = {}
+
+    def probe():
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:  # noqa: BLE001 — report any init failure
+            result["error"] = repr(e)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if th.is_alive():
+        raise SystemExit(
+            f"bench: jax backend init unresponsive after {timeout_s:.0f}s "
+            "(TPU relay down?)"
+        )
+    if "error" in result:
+        raise SystemExit(f"bench: jax backend init failed: {result['error']}")
+
+
 def main() -> None:
     from sstts.config import Config
     from sstts.synthesize import Synthesizer
     from sstts.train import create_state
+
+    _require_backend()
 
     # Full-size flagship config; stop threshold > 1 so every utterance runs to
     # max_steps (untrained weights would otherwise stop instantly and the
