@@ -10,9 +10,13 @@ post-process, full forward (loss), full train step (forward+backward+adam).
 backward+adam ~= step - forward.
 
 Usage: timeout 3600 python scripts/profile_train_chain.py [K] [phase ...]
-Phases: features encode decode_teacher postprocess forward step
-step_features (default all; step_features is the feature-resident-corpus
-step, no per-step featurization).  Under a degraded remote compile service, run one phase per process
+Phases: features encode decode_teacher postprocess grad_encode grad_decode
+grad_post forward step step_features (default all; step_features is the
+feature-resident-corpus step, no per-step featurization; grad_* are
+value_and_grad of each sub-module in isolation — backward attribution).
+The GRU-backend train-step A/B needs no flag: run the `step` phase twice,
+once with SSTTS_GRU_BACKEND=xla in the environment (separate processes).
+Under a degraded remote compile service, run one phase per process
 call to bound each compile (CLAUDE.md compile gotchas).
 """
 
@@ -159,6 +163,58 @@ def main() -> None:
         return lin
 
     phase("postprocess", post, mel_gt)
+
+    # Backward decomposition: fwd+bwd of each sub-module in isolation
+    # (value_and_grad wrt the variables of a scalarized output), chained
+    # like the forward phases.  Attribution for the step-minus-forward
+    # residual: which module's gradient carries the cost.
+    def gchain(gonce):
+        """gonce(v, x, rng) -> scalar; chain K value_and_grad applications."""
+        vg = jax.value_and_grad(gonce)
+
+        def f(v, x, r):
+            acc = jnp.float32(0.0)
+            for i in range(K):
+                val, g = vg(v, x, jax.random.fold_in(r, i))
+                leaf = jax.tree_util.tree_leaves(g)[0]
+                s = val + jnp.sum(leaf).astype(jnp.float32)
+                acc = acc + s
+                x = x + (s * 1e-12).astype(x.dtype)
+            return acc
+        return jax.jit(f)
+
+    def gphase(tag, gonce, x):
+        if not want(tag):
+            return
+        t = timed(f"{tag} x{K}", gchain(gonce), variables, x, key)
+        results[tag] = (t - t_base) / K
+
+    def genc(v, x, r):
+        (m, _), _ = model.apply(v, jnp.round(x).astype(jnp.int32), True,
+                                method=Tacotron.encode, rngs={"dropout": r},
+                                mutable=["batch_stats"])
+        return jnp.sum(m).astype(jnp.float32)
+
+    gphase("grad_encode", genc, jnp.asarray(ids, jnp.float32))
+
+    def gdec(v, m, r):
+        (mel, stops, align), _ = model.apply(
+            v, m, mmask, mel_gt, True,
+            method=Tacotron.decode_teacher, rngs={"dropout": r},
+            mutable=["batch_stats"],
+        )
+        return jnp.sum(mel).astype(jnp.float32)
+
+    gphase("grad_decode", gdec, memory)
+
+    def gpost(v, mel, r):
+        lin, _ = model.apply(
+            v, mel, frame_mask, True, method=Tacotron.postprocess,
+            rngs={"dropout": r}, mutable=["batch_stats"],
+        )
+        return jnp.sum(lin).astype(jnp.float32)
+
+    gphase("grad_post", gpost, mel_gt)
 
     def fwd(s, r):
         out, _ = model.apply(
