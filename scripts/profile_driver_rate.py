@@ -110,7 +110,9 @@ def main() -> None:
                 f"{time.perf_counter() - t0:.1f}s (loss {loss:.3f})",
                 flush=True,
             )
-            k = (MEASURE_STEPS // S) * S if S > 1 else MEASURE_STEPS
+            # At least one group even when S > MEASURE_STEPS (k=0 would
+            # skip run()'s loop and leave m unbound).
+            k = max(MEASURE_STEPS // S, 1) * S if S > 1 else MEASURE_STEPS
             t0 = time.perf_counter()
             state, m = run(state, k)
             # Force completion: fetch a scalar that depends on the last step.

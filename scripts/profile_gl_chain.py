@@ -13,10 +13,11 @@ Usage: timeout 3600 python scripts/profile_gl_chain.py [K] [B] [T]
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from scripts._common import timed  # noqa: E402
 
 import jax
 import jax.numpy as jnp
@@ -25,22 +26,6 @@ import numpy as np
 K = int(sys.argv[1]) if len(sys.argv) > 1 else 4
 B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
 T = int(sys.argv[3]) if len(sys.argv) > 3 else 800
-REPS = 5
-
-
-def timed(tag, f, *args):
-    t0 = time.perf_counter()
-    r = float(f(*args))
-    print(f"{tag}: compile+run {time.perf_counter() - t0:.1f}s "
-          f"({'finite' if np.isfinite(r) else 'NONFINITE'})", flush=True)
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(f(*args))
-        ts.append(time.perf_counter() - t0)
-    med = float(np.median(ts)) * 1000
-    print(f"{tag}: median {med:.1f} ms", flush=True)
-    return med
 
 
 def main() -> None:

@@ -10,8 +10,10 @@ post-process, full forward (loss), full train step (forward+backward+adam).
 backward+adam ~= step - forward.
 
 Usage: timeout 3600 python scripts/profile_train_chain.py [K] [phase ...]
-Phases: features encode decode_teacher postprocess grad_encode grad_decode
-grad_post forward step step_features (default all; step_features is the
+Phases: features features_dft_high features_dft_default encode
+decode_teacher postprocess grad_encode grad_decode grad_post forward step
+step_dft step_features (default all; features_dft_*/step_dft run the
+training.feature_fft_impl DFT-GEMM featurization; step_features is the
 feature-resident-corpus step, no per-step featurization; grad_* are
 value_and_grad of each sub-module in isolation — backward attribution).
 The GRU-backend train-step A/B needs no flag: run the `step` phase twice,
@@ -23,10 +25,11 @@ call to bound each compile (CLAUDE.md compile gotchas).
 from __future__ import annotations
 
 import sys
-import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from scripts._common import timed  # noqa: E402
 
 import jax
 import jax.numpy as jnp
@@ -35,26 +38,10 @@ import numpy as np
 _args = sys.argv[1:]
 K = int(_args[0]) if _args and _args[0].isdigit() else 8
 PHASES = set(a for a in _args if not a.isdigit())
-REPS = 5
 
 
 def want(tag: str) -> bool:
     return not PHASES or tag in PHASES
-
-
-def timed(tag, f, *args):
-    t0 = time.perf_counter()
-    r = float(f(*args))
-    print(f"{tag}: compile+run {time.perf_counter() - t0:.1f}s "
-          f"({'finite' if np.isfinite(r) else 'NONFINITE'})", flush=True)
-    ts = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        float(f(*args))
-        ts.append(time.perf_counter() - t0)
-    med = float(np.median(ts)) * 1000
-    print(f"{tag}: median {med:.1f} ms", flush=True)
-    return med
 
 
 def main() -> None:

@@ -186,6 +186,11 @@ def wav_to_features(
     support-reduced DFT as MXU GEMMs (`_stft_magnitude_dft`), the perf knob
     behind `training.feature_fft_impl`.
     """
+    if fft_impl != "default" and fft_impl not in _FEATURE_FFT_PRECISION:
+        raise ValueError(
+            f"unknown fft_impl {fft_impl!r}; valid: 'default', "
+            + ", ".join(repr(k) for k in _FEATURE_FFT_PRECISION)
+        )
     y = preemphasis(y.astype(jnp.float32), cfg.preemphasis)
     if fft_impl == "default":
         spec = stft_mod.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)

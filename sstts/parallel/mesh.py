@@ -38,6 +38,11 @@ def make_mesh(
     if devices is None:
         devices = jax.devices()
     n = data_parallel or len(devices) // model_parallel
+    if n < 1 or n * model_parallel > len(devices):
+        raise ValueError(
+            f"make_mesh: {n} x {model_parallel} mesh needs "
+            f"{max(n, 1) * model_parallel} devices, have {len(devices)}"
+        )
     dev = np.asarray(devices[: n * model_parallel]).reshape(
         n, model_parallel
     )

@@ -724,6 +724,13 @@ def _train_loop(
     # jitted call; log/checkpoint cadences fire on threshold crossings so
     # they behave identically for any S.
     S = max(1, int(cfg.training.steps_per_call)) if corpus is not None else 1
+    if corpus is None and int(cfg.training.steps_per_call) > 1:
+        print(
+            f"steps_per_call={cfg.training.steps_per_call} needs the "
+            "device corpus (gathers run on device); falling back to "
+            "single-step dispatch because the corpus is host-fed",
+            flush=True,
+        )
     grouped_step = make_grouped_train_step(cfg, mesh) if S > 1 else None
     while step < max_steps:
         epoch_batches = 0

@@ -157,6 +157,14 @@ def test_features_match_oracle_end_to_end(cfg, rng):
     assert np.abs(np.asarray(lin) - want_lin).max() < 1e-2
 
 
+def test_features_rejects_unknown_fft_impl():
+    """A typo'd training.feature_fft_impl fails with a clear ValueError at
+    trace time, not a bare KeyError from inside the jitted step."""
+    y = jnp.zeros((2, 4000), jnp.float32)
+    with pytest.raises(ValueError, match="fft_impl"):
+        ops.wav_to_features(y, CFG, fft_impl="dft")
+
+
 @pytest.mark.parametrize("cfg", [CFG, FULL], ids=["small", "full"])
 def test_features_dft_impl_matches_default(cfg, rng):
     """training.feature_fft_impl's support-reduced DFT-GEMM path computes

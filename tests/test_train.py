@@ -87,6 +87,15 @@ def test_train_step_dp_mesh_8_devices():
     )
 
 
+def test_make_mesh_rejects_oversized_axes():
+    """make_mesh raises a clear error instead of silently building an
+    empty or short mesh when the axes don't fit the visible devices."""
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(model_parallel=16)  # 8//16 == 0 data rows
+    with pytest.raises(ValueError, match="devices"):
+        make_mesh(data_parallel=8, model_parallel=2)  # needs 16, have 8
+
+
 def test_train_step_tp_dp_mesh():
     """Tensor-parallel "model" axis (4 data x 2 model): the embedding and
     post-net projection shard per TP_RULES, the Adam moments mirror them,
