@@ -14,7 +14,8 @@ blow the degraded compile service), the grouped program is a lax.scan —
 the step body compiles once regardless of S.
 
 Usage: timeout 1800 python scripts/profile_driver_rate.py [S ...]
-Defaults: S in (1, 8, 32), formats pcm16 + features, b=32 x 400 frames.
+Defaults: S in (1, 8, 32), formats pcm16 + features + features_bf16,
+b=32 x 400 frames.
 """
 
 from __future__ import annotations
@@ -52,7 +53,7 @@ def main() -> None:
     # Enough rows for a full b=32 batch with varied gathers; tiny vs HBM.
     utts = make_utterances(64, cfg.dataset, min_words=4, max_words=10)
 
-    for fmt in ("pcm16", "features"):
+    for fmt in ("pcm16", "features", "features_bf16"):
         fcfg = cfg.replace(
             training=dataclasses.replace(
                 cfg.training, device_corpus_format=fmt

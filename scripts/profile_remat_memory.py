@@ -9,8 +9,9 @@ the near-budget corpus and read `compiled.memory_analysis()`.  Compile-only,
 so it is safe in degraded relay windows (one bounded remote compile per
 variant, tiny HLO, no data upload).
 
-Usage: timeout 900 python scripts/profile_remat_memory.py [S] [n_rows]
-Defaults: S=8, n_rows=2816 (~4.9 GiB features corpus at 400 frames).
+Usage: timeout 900 python scripts/profile_remat_memory.py [S] [n_rows] [fmt]
+Defaults: S=8, n_rows=2816 (~4.9 GiB features corpus at 400 frames),
+fmt=features (pass features_bf16 to account the half-width corpus pairing).
 """
 
 from __future__ import annotations
@@ -35,6 +36,7 @@ import numpy as np
 
 S = int(sys.argv[1]) if len(sys.argv) > 1 else 8
 N_ROWS = int(sys.argv[2]) if len(sys.argv) > 2 else 2816
+FMT = sys.argv[3] if len(sys.argv) > 3 else "features"
 
 
 def main() -> None:
@@ -48,20 +50,20 @@ def main() -> None:
             batch_size=32,
             frame_buckets=(400,),
             text_buckets=(cfg.training.text_buckets[0],),
-            device_corpus_format="features",
+            device_corpus_format=FMT,
             steps_per_call=S,
         ),
     )
     B = cfg.training.batch_size
     T = cfg.training.frame_buckets[0]
     L = cfg.training.text_buckets[0]
-    f32 = jnp.float32
+    feat = jnp.bfloat16 if FMT == "features_bf16" else jnp.float32
     i32 = jnp.int32
     corpus = {
         "char_ids": jax.ShapeDtypeStruct((N_ROWS, L), i32),
         "text_len": jax.ShapeDtypeStruct((N_ROWS,), i32),
-        "linear": jax.ShapeDtypeStruct((N_ROWS, T, cfg.dataset.n_linear), f32),
-        "mel": jax.ShapeDtypeStruct((N_ROWS, T, cfg.dataset.n_mels), f32),
+        "linear": jax.ShapeDtypeStruct((N_ROWS, T, cfg.dataset.n_linear), feat),
+        "mel": jax.ShapeDtypeStruct((N_ROWS, T, cfg.dataset.n_mels), feat),
         "n_frames": jax.ShapeDtypeStruct((N_ROWS,), i32),
         "loss_frames": jax.ShapeDtypeStruct((N_ROWS,), i32),
     }

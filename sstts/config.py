@@ -197,10 +197,15 @@ class TrainingConfig:
     #: feeding beyond this.
     device_corpus_budget_mb: int = 6144
     #: Resident-corpus storage: "pcm16" (waveforms; the step featurizes on
-    #: device every step — BASELINE config 5's definition) or "features"
+    #: device every step — BASELINE config 5's definition), "features"
     #: (linear+mel f32 precomputed once at corpus build; skips the
     #: featurization from the step's critical path — measured 4.1 ms of
-    #: the 12.2 ms in-program step — at ~8x the HBM per utterance).
+    #: the 12.2 ms in-program step — at ~8x the HBM per utterance), or
+    #: "features_bf16" (same, stored half-width: ~4x PCM16's HBM; the step
+    #: casts targets back to f32, leaving ~0.4%-relative quantization on
+    #: the loss targets — well under the trained model's own ~0.014 mel-L1
+    #: floor — and the halved corpus is what lets steps_per_call>1 pair
+    #: with a feature-resident near-budget corpus, see steps_per_call).
     device_corpus_format: str = "pcm16"
     #: Train steps executed inside ONE jitted dispatch (`lax.scan` over
     #: on-device batch gathers; requires the HBM-resident corpus).  S steps
@@ -211,8 +216,9 @@ class TrainingConfig:
     #: single-step program, so any step count is reachable.  HBM note: the
     #: grouped program's temps exceed the single-step program's by ~1 GiB
     #: at flagship shapes, so S>1 pairs with the "pcm16" corpus format — a
-    #: near-budget "features" corpus (~5 GiB) plus the grouped program
-    #: exceeds a v5e's 16 GiB (measured: program 11.8G + args 4.9G OOM).
+    #: near-budget f32 "features" corpus (~5 GiB) plus the grouped program
+    #: exceeds a v5e's 16 GiB (measured: program 11.8G + args 4.9G OOM);
+    #: "features_bf16" halves the corpus (~2.5 GiB) to make the pairing fit.
     steps_per_call: int = 1
     #: Tensor-parallel size of the mesh's "model" axis (1 = pure data
     #: parallelism, the primary strategy at this model scale).  >1 shards

@@ -154,7 +154,10 @@ def _make_step_body(
         state: TrainState, batch: Dict[str, jnp.ndarray]
     ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         if from_features:
-            linear_gt, mel_gt = batch["linear"], batch["mel"]
+            # f32 regardless of the corpus storage dtype ("features_bf16"
+            # stores half-width targets; the loss math stays f32).
+            linear_gt = batch["linear"].astype(jnp.float32)
+            mel_gt = batch["mel"].astype(jnp.float32)
         else:
             samples = batch["samples"].astype(jnp.float32) * (1.0 / 32767.0)
             linear_gt, mel_gt = wav_to_features(
@@ -235,7 +238,7 @@ _CORPUS_KEYS_FEATURES = (
 
 def corpus_keys(cfg: Config) -> Tuple[str, ...]:
     fmt = cfg.training.device_corpus_format
-    if fmt == "features":
+    if fmt in ("features", "features_bf16"):
         return _CORPUS_KEYS_FEATURES
     if fmt == "pcm16":
         return _CORPUS_KEYS
@@ -351,9 +354,17 @@ def build_device_corpus(
     hop = cfg.dataset.hop_len
     budget = cfg.training.device_corpus_budget_mb * (1 << 20)
     as_features = corpus_keys(cfg) is _CORPUS_KEYS_FEATURES
-    # f32 linear+mel per padded frame (replaces the PCM16 samples on device).
+    feat_dtype = (
+        jnp.bfloat16
+        if cfg.training.device_corpus_format == "features_bf16"
+        else jnp.float32
+    )
+    # linear+mel per padded frame (replaces the PCM16 samples on device);
+    # 4 bytes/value f32, 2 bytes/value bf16.
     feat_row_bytes = {
-        b: 4 * fr * (cfg.dataset.n_linear + cfg.dataset.n_mels)
+        b: np.dtype(feat_dtype).itemsize
+        * fr
+        * (cfg.dataset.n_linear + cfg.dataset.n_mels)
         for b, (_, fr) in enumerate(shapes)
     }
     rows: Dict[int, list] = {}
@@ -400,7 +411,7 @@ def build_device_corpus(
 
         @partial(jax.jit, out_shardings=(sharding, sharding))
         def featurize(samples):
-            return jax.lax.map(
+            lin, mel = jax.lax.map(
                 lambda s: wav_to_features(
                     s.astype(jnp.float32) * (1.0 / 32767.0), ds,
                     cfg.training.feature_fft_impl,
@@ -408,6 +419,9 @@ def build_device_corpus(
                 samples,
                 batch_size=64,
             )
+            # Storage dtype: "features_bf16" keeps half-width targets on
+            # device (the step casts back to f32); f32 otherwise.
+            return lin.astype(feat_dtype), mel.astype(feat_dtype)
 
     corpus: Dict[int, Dict[str, jnp.ndarray]] = {}
     counts: Dict[int, int] = {}

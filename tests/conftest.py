@@ -22,3 +22,28 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _bounded_compiler_state():
+    """Clear compiled-program caches after each test module.
+
+    XLA's CPU backend has segfaulted natively (inside
+    `backend_compile_and_load`, reproducibly, twice at the same test) late
+    in full-suite runs — after ~120 tests of accumulated live executables —
+    while every per-module run of the same tests passes.  Bounding the
+    live compiler state per module keeps the process inside the envelope
+    known to be stable.  Cost: cross-module recompiles, which are rare
+    (the memoized builders key on config, and configs differ per module)."""
+    yield
+    from sstts import train as train_mod
+
+    for builder in (
+        train_mod._jitted_init,
+        train_mod.make_train_step,
+        train_mod.make_cached_train_step,
+        train_mod.make_grouped_train_step,
+        train_mod.make_eval_step,
+    ):
+        builder.cache_clear()
+    jax.clear_caches()

@@ -361,6 +361,66 @@ def test_device_corpus_features_format_matches_pcm16():
     )
 
 
+def test_device_corpus_features_bf16_matches_f32():
+    """"features_bf16" stores half-width targets; the step loss must match
+    the f32 features corpus to bf16 quantization tolerance (the targets
+    carry <=0.4% relative rounding; predictions are identical), and the
+    resident arrays must actually be bf16 (half the HBM — the property
+    that lets steps_per_call>1 pair with a feature-resident corpus)."""
+    cfg = _cfg(batch_size=2)
+    cfg_f = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, device_corpus_format="features"
+        )
+    )
+    cfg_h = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, device_corpus_format="features_bf16"
+        )
+    )
+    utts = make_utterances(6, cfg.dataset, min_words=1, max_words=2)
+    built_f, reason_f = train_mod.build_device_corpus(cfg_f, utts)
+    assert built_f is not None, reason_f
+    built_h, reason_h = train_mod.build_device_corpus(cfg_h, utts)
+    assert built_h is not None, reason_h
+    corpus_f, counts = built_f
+    corpus_h, counts_h = built_h
+    assert counts == counts_h
+    bucket = next(iter(sorted(counts)))
+    assert corpus_h[bucket]["linear"].dtype == jnp.bfloat16
+    assert corpus_h[bucket]["mel"].dtype == jnp.bfloat16
+    assert corpus_f[bucket]["linear"].dtype == jnp.float32
+
+    idx = np.array([0, 1], np.int32)
+    valid = np.ones(2, np.float32)
+    _, m_f = train_mod.make_cached_train_step(cfg_f)(
+        train_mod.create_state(cfg_f), corpus_f[bucket], idx, valid
+    )
+    _, m_h = train_mod.make_cached_train_step(cfg_h)(
+        train_mod.create_state(cfg_h), corpus_h[bucket], idx, valid
+    )
+    # L1 losses against bf16-rounded targets move by at most the mean
+    # absolute rounding (~0.2% of the target scale).
+    np.testing.assert_allclose(
+        float(m_f["loss"]), float(m_h["loss"]), rtol=1e-2
+    )
+
+    # The motivating pairing: grouped multi-step dispatch over the bf16
+    # feature corpus compiles and runs.
+    cfg_hs = cfg_h.replace(
+        training=dataclasses.replace(
+            cfg_h.training, device_corpus_format="features_bf16",
+            steps_per_call=2,
+        )
+    )
+    idxs = np.array([[0, 1], [2, 3]], np.int32) % counts[bucket]
+    valids = np.ones((2, 2), np.float32)
+    _, m_g = train_mod.make_grouped_train_step(cfg_hs)(
+        train_mod.create_state(cfg_hs), corpus_h[bucket], idxs, valids
+    )
+    assert np.isfinite(np.asarray(m_g["loss"])).all()
+
+
 def test_grouped_step_matches_sequential_cached_steps():
     """S steps in one dispatch (lax.scan) must match S sequential
     single-step dispatches: same loss trajectory, same final params."""
