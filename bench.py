@@ -22,32 +22,69 @@ import jax
 import numpy as np
 
 
-def _require_backend(timeout_s: float = 300.0) -> None:
-    """Fail fast (clear message, rc 1) when the TPU relay is down.
+def _require_backend(
+    probe_timeout_s: float = 150.0, init_timeout_s: float = 300.0
+) -> None:
+    """Wait (bounded) for the TPU relay, then fail clearly if it stays down.
 
     Backend init normally takes seconds; during a full relay outage it
     blocks ~25 minutes before raising UNAVAILABLE (observed 2026-08-17,
-    CLAUDE.md).  Bounding it keeps the bench's failure mode prompt and
-    diagnosable instead of an opaque hang.  Compiles are NOT bounded here —
-    a degraded-but-alive compile service may take minutes and still yield
-    a valid measurement.
+    CLAUDE.md), and outages have lasted hours.  Strategy: probe health in
+    a SUBPROCESS (`python -c "import jax; jax.devices()"`, bounded) so a
+    hung init can never poison this process, retrying until the
+    `SSTTS_BENCH_RELAY_WAIT_S` recovery window (default 30 min; 0 = one
+    probe, fail fast) runs out; only after a probe succeeds is the
+    in-process backend initialized (itself bounded).  Compiles are NOT
+    bounded here — a degraded-but-alive compile service may take minutes
+    and still yield a valid measurement.
     """
+    import os
+    import subprocess
+    import sys
     import threading
+
+    window = float(os.environ.get("SSTTS_BENCH_RELAY_WAIT_S", "1800"))
+    deadline = time.monotonic() + window
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            subprocess.run(
+                [sys.executable, "-c", "import jax; jax.devices()"],
+                timeout=probe_timeout_s,
+                check=True,
+                capture_output=True,
+            )
+            break
+        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
+            remain = deadline - time.monotonic()
+            if remain <= 0:
+                raise SystemExit(
+                    f"bench: TPU relay unresponsive after {attempt} probes "
+                    f"over {window:.0f}s (SSTTS_BENCH_RELAY_WAIT_S) — "
+                    "relay down"
+                )
+            print(
+                f"bench: relay probe {attempt} failed; retrying "
+                f"({remain:.0f}s left in the recovery window)",
+                flush=True,
+            )
+            time.sleep(min(120.0, max(remain, 1.0)))
 
     result = {}
 
-    def probe():
+    def init():
         try:
             result["devices"] = jax.devices()
         except Exception as e:  # noqa: BLE001 — report any init failure
             result["error"] = repr(e)
 
-    th = threading.Thread(target=probe, daemon=True)
+    th = threading.Thread(target=init, daemon=True)
     th.start()
-    th.join(timeout_s)
+    th.join(init_timeout_s)
     if th.is_alive():
         raise SystemExit(
-            f"bench: jax backend init unresponsive after {timeout_s:.0f}s "
+            f"bench: jax backend init unresponsive after {init_timeout_s:.0f}s "
             "(TPU relay down?)"
         )
     if "error" in result:
