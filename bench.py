@@ -23,7 +23,7 @@ import numpy as np
 
 
 def _require_backend(
-    probe_timeout_s: float = 150.0, init_timeout_s: float = 300.0
+    probe_timeout_s: float = 300.0, init_timeout_s: float = 300.0
 ) -> None:
     """Wait (bounded) for the TPU relay, then fail clearly if it stays down.
 
@@ -46,6 +46,7 @@ def _require_backend(
     window = float(os.environ.get("SSTTS_BENCH_RELAY_WAIT_S", "1800"))
     deadline = time.monotonic() + window
     attempt = 0
+    last_detail = ""
     while True:
         attempt += 1
         try:
@@ -56,20 +57,26 @@ def _require_backend(
                 capture_output=True,
             )
             break
-        except (subprocess.TimeoutExpired, subprocess.CalledProcessError):
-            remain = deadline - time.monotonic()
-            if remain <= 0:
-                raise SystemExit(
-                    f"bench: TPU relay unresponsive after {attempt} probes "
-                    f"over {window:.0f}s (SSTTS_BENCH_RELAY_WAIT_S) — "
-                    "relay down"
-                )
-            print(
-                f"bench: relay probe {attempt} failed; retrying "
-                f"({remain:.0f}s left in the recovery window)",
-                flush=True,
+        except subprocess.TimeoutExpired:
+            last_detail = f"probe timed out after {probe_timeout_s:.0f}s"
+        except subprocess.CalledProcessError as e:
+            # Surface the child's actual failure — a broken env or a fast
+            # server-side error must not masquerade as "relay down".
+            err = (e.stderr or b"").decode(errors="replace").strip()
+            last_detail = f"probe rc={e.returncode}: {err[-500:]}"
+        remain = deadline - time.monotonic()
+        if remain <= 0:
+            raise SystemExit(
+                f"bench: TPU relay probe failed {attempt}x over "
+                f"{window:.0f}s (SSTTS_BENCH_RELAY_WAIT_S); last failure: "
+                f"{last_detail}"
             )
-            time.sleep(min(120.0, max(remain, 1.0)))
+        print(
+            f"bench: relay probe {attempt} failed ({last_detail}); "
+            f"retrying ({remain:.0f}s left in the recovery window)",
+            flush=True,
+        )
+        time.sleep(min(120.0, max(remain, 1.0)))
 
     result = {}
 

@@ -409,19 +409,22 @@ def build_device_corpus(
         # produce identical features by construction.
         ds = cfg.dataset
 
-        @partial(jax.jit, out_shardings=(sharding, sharding))
-        def featurize(samples):
-            lin, mel = jax.lax.map(
-                lambda s: wav_to_features(
-                    s.astype(jnp.float32) * (1.0 / 32767.0), ds,
-                    cfg.training.feature_fft_impl,
-                ),
-                samples,
-                batch_size=64,
+        def _chunk_features(s):
+            lin, mel = wav_to_features(
+                s.astype(jnp.float32) * (1.0 / 32767.0), ds,
+                cfg.training.feature_fft_impl,
             )
             # Storage dtype: "features_bf16" keeps half-width targets on
-            # device (the step casts back to f32); f32 otherwise.
+            # device (the step casts back to f32); f32 otherwise.  Cast
+            # INSIDE the mapped chunk so the lax.map accumulator itself is
+            # bf16 — casting after the map would materialize the whole
+            # bucket in f32 first (2x the stored bytes transiently), which
+            # defeats the near-budget scenario the format exists for.
             return lin.astype(feat_dtype), mel.astype(feat_dtype)
+
+        @partial(jax.jit, out_shardings=(sharding, sharding))
+        def featurize(samples):
+            return jax.lax.map(_chunk_features, samples, batch_size=64)
 
     corpus: Dict[int, Dict[str, jnp.ndarray]] = {}
     counts: Dict[int, int] = {}
