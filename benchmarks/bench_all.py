@@ -290,6 +290,13 @@ def main() -> None:
     ap.add_argument("--configs", default="1,2,3,3c,4,5")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
+    # TPU configs would block ~25 min on backend init during a relay
+    # outage; reuse bench.py's bounded probe/recovery window (configs 1
+    # and 5 run in CPU subprocesses and don't need the relay).
+    if any(k.strip() not in ("1", "5") for k in args.configs.split(",")):
+        from bench import _require_backend
+
+        _require_backend()
     results = []
     for key in args.configs.split(","):
         key = key.strip()
