@@ -155,8 +155,13 @@ def _gru_step(x, h, wx, wh, b, dot):
 
 def _dropout(x: jnp.ndarray, rate: float) -> jnp.ndarray:
     """Inverted dropout from the on-core PRNG (caller must seed first)."""
+    rate = min(max(float(rate), 0.0), 1.0)
+    if rate >= 1.0:
+        # flax Dropout semantics: rate 1.0 zeroes everything (the uint32
+        # threshold below cannot represent 2**32, and 1/(1-rate) is inf).
+        return jnp.zeros_like(x)
     bits = pltpu.prng_random_bits(x.shape)
-    threshold = np.uint32(min(max(rate, 0.0), 1.0) * 4294967296.0)
+    threshold = np.uint32(min(rate * 4294967296.0, 4294967295.0))
     keep = pltpu.bitcast(bits, jnp.uint32) >= threshold
     return jnp.where(keep, x * (1.0 / (1.0 - rate)), 0.0)
 

@@ -234,6 +234,11 @@ _CORPUS_KEYS = ("char_ids", "text_len", "samples", "n_frames", "loss_frames")
 _CORPUS_KEYS_FEATURES = (
     "char_ids", "text_len", "linear", "mel", "n_frames", "loss_frames"
 )
+#: Rows per upload+featurize chunk when building a feature-format corpus:
+#: bounds the build's device transient (chunk PCM16 + chunk features) so a
+#: near-budget corpus cannot OOM mid-build.  Tests shrink it to cover the
+#: chunked path on small corpora.
+_FEATURIZE_CHUNK_ROWS = 256
 
 
 def corpus_keys(cfg: Config) -> Tuple[str, ...]:
@@ -402,12 +407,21 @@ def build_device_corpus(
         )
 
     if as_features:
-        # Featurize once at corpus build (on device, bounded chunks so the
-        # f32-waveform transient never exceeds ~chunk x row) and store
-        # linear/mel instead of the PCM16 waveform.  Same wav_to_features
-        # program the step would run — cached and per-step featurization
-        # produce identical features by construction.
+        # Featurize once at corpus build (on device) and store linear/mel
+        # instead of the PCM16 waveform.  Same wav_to_features program the
+        # step would run — cached and per-step featurization produce
+        # identical features by construction.
+        #
+        # Device-memory discipline: rows upload and featurize in bounded
+        # chunks written into donated full-bucket buffers, so the build's
+        # HBM transient is one chunk's PCM16 + features (~100 MiB), NOT the
+        # whole bucket's — a near-budget feature corpus (the scenario the
+        # bf16 format exists for) must not OOM at build time just because
+        # the bucket's int16 samples were briefly co-resident with its
+        # features.  The budget gate above therefore bounds peak usage,
+        # not just the stored corpus.
         ds = cfg.dataset
+        rows_per_chunk = _FEATURIZE_CHUNK_ROWS
 
         def _chunk_features(s):
             lin, mel = wav_to_features(
@@ -417,14 +431,49 @@ def build_device_corpus(
             # Storage dtype: "features_bf16" keeps half-width targets on
             # device (the step casts back to f32); f32 otherwise.  Cast
             # INSIDE the mapped chunk so the lax.map accumulator itself is
-            # bf16 — casting after the map would materialize the whole
-            # bucket in f32 first (2x the stored bytes transiently), which
-            # defeats the near-budget scenario the format exists for.
+            # bf16 — casting after the map would materialize the chunk in
+            # f32 first (2x the stored bytes transiently).
             return lin.astype(feat_dtype), mel.astype(feat_dtype)
 
         @partial(jax.jit, out_shardings=(sharding, sharding))
         def featurize(samples):
             return jax.lax.map(_chunk_features, samples, batch_size=64)
+
+        @partial(
+            jax.jit, donate_argnums=(0, 1),
+            out_shardings=(sharding, sharding),
+        )
+        def _write_chunk(lin_buf, mel_buf, samples, offset):
+            lin, mel = jax.lax.map(_chunk_features, samples, batch_size=64)
+            return (
+                jax.lax.dynamic_update_slice_in_dim(lin_buf, lin, offset, 0),
+                jax.lax.dynamic_update_slice_in_dim(mel_buf, mel, offset, 0),
+            )
+
+        def featurize_bucket(host):
+            n = host.shape[0]
+            if n <= rows_per_chunk:
+                return featurize(put(host))
+            row = jax.ShapeDtypeStruct(host.shape[1:], jnp.int16)
+            lin_s, mel_s = jax.eval_shape(_chunk_features, row)
+            alloc = partial(jnp.zeros, dtype=feat_dtype)
+            bufs = jax.jit(
+                lambda: (alloc((n, *lin_s.shape)), alloc((n, *mel_s.shape))),
+                out_shardings=(sharding, sharding),
+            )()
+            # Fixed chunk shape (one compile); the final chunk re-covers
+            # already-written rows instead of compiling a remainder shape —
+            # featurization is deterministic, so the overlap is a no-op.
+            starts = list(range(0, n - rows_per_chunk + 1, rows_per_chunk))
+            if starts[-1] + rows_per_chunk < n:
+                starts.append(n - rows_per_chunk)
+            for off in starts:
+                # numpy slice passed straight as a jit argument: the
+                # transfer folds into the async dispatch (CLAUDE.md).
+                bufs = _write_chunk(
+                    *bufs, host[off : off + rows_per_chunk], np.int32(off)
+                )
+            return bufs
 
     corpus: Dict[int, Dict[str, jnp.ndarray]] = {}
     counts: Dict[int, int] = {}
@@ -433,13 +482,31 @@ def build_device_corpus(
         for k in list(items[0].keys()):
             host = np.concatenate([r.pop(k) for r in items], axis=0)
             if as_features and k == "samples":
-                dev["linear"], dev["mel"] = featurize(put(host))
+                dev["linear"], dev["mel"] = featurize_bucket(host)
             else:
                 dev[k] = put(host)
             del host
         corpus[bucket] = dev
         counts[bucket] = len(items)
     return (corpus, counts), None
+
+
+def _bucket_batches(rng, n: int, batch_size: int):
+    """One bucket's epoch as [(idx (B,) int32, valid (B,) f32)]: every row
+    exactly once; the remainder batch repeats rows with valid=0 (zero loss
+    contribution).  Shared by the single-step and grouped epoch generators
+    so their coverage contracts cannot diverge."""
+    perm = rng.permutation(n)
+    out = []
+    for start in range(0, n, batch_size):
+        chunk = perm[start : start + batch_size]
+        valid = np.ones(batch_size, np.float32)
+        if len(chunk) < batch_size:
+            valid[len(chunk) :] = 0.0
+            fill = chunk[np.arange(batch_size - len(chunk)) % len(chunk)]
+            chunk = np.concatenate([chunk, fill])
+        out.append((chunk.astype(np.int32), valid))
+    return out
 
 
 def cached_epoch_indices(
@@ -450,17 +517,9 @@ def cached_epoch_indices(
     rng = np.random.default_rng(seed)
     order = []
     for bucket, n in sorted(counts.items()):
-        perm = rng.permutation(n)
-        for start in range(0, n, batch_size):
-            chunk = perm[start : start + batch_size]
-            valid = np.ones(batch_size, np.float32)
-            if len(chunk) < batch_size:
-                valid[len(chunk) :] = 0.0
-                fill = chunk[
-                    np.arange(batch_size - len(chunk)) % len(chunk)
-                ]
-                chunk = np.concatenate([chunk, fill])
-            order.append((bucket, chunk.astype(np.int32), valid))
+        order.extend(
+            (bucket, c, v) for c, v in _bucket_batches(rng, n, batch_size)
+        )
     rng.shuffle(order)
     yield from order
 
@@ -477,18 +536,7 @@ def grouped_epoch_indices(
     S = steps_per_call
     ops = []
     for bucket, n in sorted(counts.items()):
-        perm = rng.permutation(n)
-        chunks = []
-        for start in range(0, n, batch_size):
-            chunk = perm[start : start + batch_size]
-            valid = np.ones(batch_size, np.float32)
-            if len(chunk) < batch_size:
-                valid[len(chunk) :] = 0.0
-                fill = chunk[
-                    np.arange(batch_size - len(chunk)) % len(chunk)
-                ]
-                chunk = np.concatenate([chunk, fill])
-            chunks.append((chunk.astype(np.int32), valid))
+        chunks = _bucket_batches(rng, n, batch_size)
         n_full = len(chunks) - len(chunks) % S
         for i in range(0, n_full, S):
             grp = chunks[i : i + S]

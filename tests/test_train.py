@@ -361,6 +361,33 @@ def test_device_corpus_features_format_matches_pcm16():
     )
 
 
+def test_device_corpus_features_chunked_build_matches_oneshot(monkeypatch):
+    """Large buckets build via bounded upload+featurize chunks written into
+    donated buffers (the HBM transient fix); the chunked path — including
+    the overlapping final chunk — must produce bit-identical corpora."""
+    cfg = _cfg(batch_size=2).replace(
+        training=dataclasses.replace(
+            _cfg(batch_size=2).training, device_corpus_format="features"
+        )
+    )
+    utts = make_utterances(7, cfg.dataset, min_words=1, max_words=1)
+    built_one, reason = train_mod.build_device_corpus(cfg, utts)
+    assert built_one is not None, reason
+    monkeypatch.setattr(train_mod, "_FEATURIZE_CHUNK_ROWS", 2)
+    built_chunked, reason_c = train_mod.build_device_corpus(cfg, utts)
+    assert built_chunked is not None, reason_c
+    corpus_one, counts = built_one
+    corpus_chunked, counts_c = built_chunked
+    assert counts == counts_c
+    assert any(n > 2 for n in counts.values())  # chunked path exercised
+    for bucket in counts:
+        for k in corpus_one[bucket]:
+            np.testing.assert_array_equal(
+                np.asarray(jax.device_get(corpus_one[bucket][k])),
+                np.asarray(jax.device_get(corpus_chunked[bucket][k])),
+            )
+
+
 def test_device_corpus_features_bf16_matches_f32():
     """"features_bf16" stores half-width targets; the step loss must match
     the f32 features corpus to bf16 quantization tolerance (the targets
