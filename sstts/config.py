@@ -69,6 +69,31 @@ class DatasetConfig:
     #: raising on mismatch (host-side polyphase sinc, sstts.dsp.resample;
     #: for 16 kHz corpora like Blizzard-Nancy / CSS10).
     resample_on_load: bool = False
+    #: Extra characters appended to the text charset (e.g.
+    #: ``("äöü",)`` for the thesis's German corpus — SURVEY.md §2.3).
+    #: Appending AFTER the base charset keeps every base character id
+    #: stable, so the LJSpeech default charset (and its checkpoints) is
+    #: unchanged; a non-empty value grows the embedding table and therefore
+    #: participates in the checkpoint fingerprint.
+    extra_chars: Tuple[str, ...] = ()
+
+    def __post_init__(self) -> None:
+        # Fail at construction with a clear message instead of deep inside
+        # the STFT window builder (np.pad with a negative width): the window
+        # must fit the FFT frame, and the hop must not exceed the window.
+        if self.win_len > self.n_fft:
+            raise ValueError(
+                f"win_len_ms={self.win_len_ms} at sample_rate="
+                f"{self.sample_rate} gives win_len={self.win_len} samples "
+                f"> n_fft={self.n_fft}; raise n_fft or lower "
+                "win_len_ms/sample_rate"
+            )
+        if self.hop_len < 1 or self.hop_len > self.win_len:
+            raise ValueError(
+                f"win_hop_ms={self.win_hop_ms} at sample_rate="
+                f"{self.sample_rate} gives hop_len={self.hop_len}; must be "
+                f"in [1, win_len={self.win_len}]"
+            )
 
     @property
     def win_len(self) -> int:
@@ -354,6 +379,11 @@ class Config:
                     k: v
                     for k, v in sorted(dataclasses.asdict(section).items())
                     if k not in self._FINGERPRINT_EXCLUDE[name]
+                    # Omitted when empty so checkpoints written before the
+                    # field existed keep matching; a non-empty charset
+                    # extension changes the embedding table and must
+                    # invalidate.
+                    and not (k == "extra_chars" and not v)
                 }
                 for name, section in sections.items()
             },
@@ -364,7 +394,14 @@ class Config:
 def tiny_config() -> Config:
     """A miniature config for tests and compile-check entry points."""
     return Config(
-        dataset=DatasetConfig(n_fft=512, n_mels=20, max_text_len=32, max_frames=64),
+        # 8 kHz keeps the 50 ms window (400 samples) inside n_fft=512 — the
+        # LJSpeech-default 22.05 kHz would give win_len=1102 > n_fft, which
+        # DatasetConfig now rejects (and used to fail deep in the STFT
+        # window builder when a tiny config touched any DSP path).
+        dataset=DatasetConfig(
+            n_fft=512, n_mels=20, max_text_len=32, max_frames=64,
+            sample_rate=8000, mel_fmax=4000.0,
+        ),
         arch=ArchitectureConfig(
             embedding_dim=32,
             prenet_units=(32, 16),

@@ -12,9 +12,11 @@ verified reference file:
   ``<wav path>|<raw text>|<normalized text>|<duration>`` rows relative to
   the corpus root.
 
-Both normalize through the shared ASCII text front-end (sstts.data.text) —
-non-ASCII (e.g. German umlauts) transliterates to its closest ASCII form,
-matching the charset the model embeds.  Sample-rate mismatches are handled
+Both normalize through the shared text front-end (sstts.data.text).  With
+the default ASCII charset, non-ASCII (e.g. German umlauts) transliterates to
+its closest ASCII form; configure ``dataset.extra_chars`` (e.g. ``("äöüß",)``)
+to keep those distinctions — the charset the model embeds then carries them
+natively (SURVEY.md §2.3's German corpus row).  Sample-rate mismatches are handled
 by `sstts.data.pipeline.load_audio` (strict by default; polyphase resample
 when ``dataset.resample_on_load`` is set).
 """
@@ -51,7 +53,7 @@ def load_blizzard_nancy(cfg: DatasetConfig) -> List[Utterance]:
     utts: List[Utterance] = []
     for match in _PROMPT_RE.finditer(prompts.read_text(encoding="utf-8")):
         uid, raw = match.group(1), match.group(2)
-        norm = text_mod.normalize(raw)
+        norm = text_mod.normalize(raw, cfg.extra_chars)
         if not _keep(cfg, norm):
             continue
         utts.append(Utterance(uid, str(wav_dir / f"{uid}.wav"), norm))
@@ -77,7 +79,7 @@ def load_css10(cfg: DatasetConfig) -> List[Utterance]:
         rel = parts[0].strip()
         # Prefer the normalized-transcript column when present.
         raw = parts[2] if len(parts) > 2 and parts[2].strip() else parts[1]
-        norm = text_mod.normalize(raw)
+        norm = text_mod.normalize(raw, cfg.extra_chars)
         if not _keep(cfg, norm):
             continue
         # uid keeps the directory part: CSS10 numbers files per book

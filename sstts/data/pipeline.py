@@ -157,7 +157,7 @@ class Batcher:
         self._cache_all = len(utts) <= 4096  # small corpora stay resident
         skipped = 0
         for u in utts:
-            ids = text_mod.encode(u.text)
+            ids = text_mod.encode(u.text, extra_chars=cfg.dataset.extra_chars)
             if len(ids) > cfg.dataset.max_text_len:
                 skipped += 1
                 continue

@@ -48,7 +48,8 @@ def compute_statistics(
         audio = pipeline_mod.load_audio(u, cfg)
         if len(audio) < ds.win_len:
             continue
-        lin_db, mel_db = featurize_db(jnp.asarray(audio))
+        # Numpy straight into the jit (transfer folds into the dispatch).
+        lin_db, mel_db = featurize_db(audio)
         lin_db = np.asarray(lin_db)
         mel_db = np.asarray(mel_db)
         lin_stats.append((lin_db.min(), lin_db.max(), lin_db.mean()))

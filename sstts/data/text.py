@@ -1,9 +1,13 @@
 """Text front-end: normalization, charset, id mapping.
 
 TPU-native counterpart of the reference's text handling inside its dataset
-definitions (`datasets/lj_speech.py` — SURVEY.md §2.3).  The charset is
+definitions (`datasets/lj_speech.py` — SURVEY.md §2.3).  The base charset is
 printable-ASCII-lowercase + punctuation (the reference charset could not be
 verified against the empty mount; SURVEY.md §7.3 prescribes this fallback).
+Non-English corpora (SURVEY.md §2.3's German corpus row) extend it through
+``DatasetConfig.extra_chars``: configured characters are APPENDED to the base
+charset (so base ids — and therefore LJSpeech checkpoints — never shift) and
+survive normalization instead of being transliterated to nearest-ASCII.
 
 Encoding appends one EOS symbol; id 0 is padding, so masks are `ids != 0`.
 """
@@ -12,7 +16,8 @@ from __future__ import annotations
 
 import re
 import unicodedata
-from typing import List
+from functools import lru_cache
+from typing import List, Tuple
 
 import numpy as np
 
@@ -30,6 +35,79 @@ EOS_ID = CHAR_TO_ID[EOS]
 VOCAB_SIZE = len(CHARSET)
 
 _WHITESPACE_RE = re.compile(r"\s+")
+
+
+class Charset:
+    """One charset instance: the base charset plus configured extra chars.
+
+    Extra characters append AFTER the base charset, so the id of every base
+    character (and PAD/EOS) is identical across all charsets — an LJSpeech
+    checkpoint's embedding rows stay valid when the table merely grows.
+    """
+
+    def __init__(self, extra_chars: Tuple[str, ...] = ()):
+        extras: List[str] = []
+        for ch in extra_chars:
+            for c in ch:  # accept multi-char strings like "äöü"
+                c = c.lower()
+                if c not in CHAR_TO_ID and c not in extras:
+                    extras.append(c)
+        self.extra_chars: Tuple[str, ...] = tuple(extras)
+        self.charset: str = CHARSET + "".join(extras)
+        self.char_to_id = {c: i for i, c in enumerate(self.charset)}
+        self.id_to_char = {i: c for i, c in enumerate(self.charset)}
+        self.vocab_size = len(self.charset)
+
+    def normalize(self, text: str) -> str:
+        """Lowercase, expand abbreviations, keep configured chars,
+        transliterate the rest toward ASCII, drop what remains foreign."""
+        text = unicodedata.normalize("NFC", text).lower()
+        for pattern, replacement in _ABBREVIATIONS:
+            text = pattern.sub(replacement, text)
+        text = _WHITESPACE_RE.sub(" ", text).strip()
+        out: List[str] = []
+        for c in text:
+            if c in self.char_to_id:
+                if c not in (PAD, EOS):
+                    out.append(c)
+                continue
+            if c == "ß":  # NFKD does not decompose ß; use the standard form
+                out.append("ss" if "s" in self.char_to_id else "")
+                continue
+            # Closest-ASCII transliteration (ä→a, é→e, …) for anything the
+            # configured charset does not carry natively.
+            t = (
+                unicodedata.normalize("NFKD", c)
+                .encode("ascii", "ignore")
+                .decode("ascii")
+            )
+            out.extend(x for x in t if x in self.char_to_id and x not in (PAD, EOS))
+        return "".join(out)
+
+    def encode(self, text: str, max_len: int | None = None) -> np.ndarray:
+        """Normalized text -> int32 ids with a trailing EOS; optionally padded."""
+        ids = [self.char_to_id[c] for c in self.normalize(text)] + [EOS_ID]
+        if max_len is not None:
+            if len(ids) > max_len:
+                ids = ids[: max_len - 1] + [EOS_ID]
+            ids = ids + [PAD_ID] * (max_len - len(ids))
+        return np.asarray(ids, dtype=np.int32)
+
+    def decode(self, ids: np.ndarray) -> str:
+        out: List[str] = []
+        for i in np.asarray(ids).tolist():
+            c = self.id_to_char.get(int(i), "")
+            if c == EOS:
+                break
+            if c != PAD:
+                out.append(c)
+        return "".join(out)
+
+
+@lru_cache(maxsize=None)
+def charset_for(extra_chars: Tuple[str, ...] = ()) -> Charset:
+    """Memoized charset factory; pass `cfg.dataset.extra_chars`."""
+    return Charset(tuple(extra_chars))
 
 # Minimal abbreviation expansion for LJSpeech-style normalized text.
 _ABBREVIATIONS = [
@@ -57,42 +135,30 @@ _ABBREVIATIONS = [
 ]
 
 
-def normalize(text: str) -> str:
-    """Lowercase, strip accents, expand abbreviations, drop out-of-charset."""
-    text = unicodedata.normalize("NFKD", text)
-    text = text.encode("ascii", "ignore").decode("ascii")
-    text = text.lower()
-    for pattern, replacement in _ABBREVIATIONS:
-        text = pattern.sub(replacement, text)
-    text = _WHITESPACE_RE.sub(" ", text).strip()
-    return "".join(c for c in text if c in CHAR_TO_ID and c not in (PAD, EOS))
+def normalize(text: str, extra_chars: Tuple[str, ...] = ()) -> str:
+    """Lowercase, expand abbreviations, drop/transliterate out-of-charset."""
+    return charset_for(extra_chars).normalize(text)
 
 
-def encode(text: str, max_len: int | None = None) -> np.ndarray:
+def encode(
+    text: str,
+    max_len: int | None = None,
+    extra_chars: Tuple[str, ...] = (),
+) -> np.ndarray:
     """Normalized text -> int32 ids with a trailing EOS; optionally padded."""
-    ids = [CHAR_TO_ID[c] for c in normalize(text)] + [EOS_ID]
-    if max_len is not None:
-        if len(ids) > max_len:
-            ids = ids[: max_len - 1] + [EOS_ID]
-        ids = ids + [PAD_ID] * (max_len - len(ids))
-    return np.asarray(ids, dtype=np.int32)
+    return charset_for(extra_chars).encode(text, max_len)
 
 
-def decode(ids: np.ndarray) -> str:
-    out: List[str] = []
-    for i in np.asarray(ids).tolist():
-        c = ID_TO_CHAR.get(int(i), "")
-        if c == EOS:
-            break
-        if c != PAD:
-            out.append(c)
-    return "".join(out)
+def decode(ids: np.ndarray, extra_chars: Tuple[str, ...] = ()) -> str:
+    return charset_for(extra_chars).decode(ids)
 
 
 _SENTENCE_SPLIT_RE = re.compile(r"(?<=[.!?;])\s+")
 
 
-def split_sentences(text: str, max_chars: int) -> List[str]:
+def split_sentences(
+    text: str, max_chars: int, extra_chars: Tuple[str, ...] = ()
+) -> List[str]:
     """Split long text into synthesis chunks of <= max_chars (normalized).
 
     Splits at sentence punctuation first; sentences that still exceed the
@@ -104,7 +170,7 @@ def split_sentences(text: str, max_chars: int) -> List[str]:
     """
     if max_chars < 1:
         raise ValueError("max_chars must be positive")
-    norm = normalize(text)
+    norm = normalize(text, extra_chars)
     if not norm:
         return []
     # Emit ordered pieces (whole sentences, or words / hard-cut fragments of

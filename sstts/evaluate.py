@@ -34,7 +34,10 @@ def evaluate_state(
     agg: Dict[str, float] = {}
     n = 0
     for _, batch in batcher.epoch(0, cfg.evaluation.batch_size):
-        metrics, _ = eval_step(state, jax.tree.map(jnp.asarray, batch))
+        # Numpy batch straight into the jitted step — the transfer folds
+        # into the async dispatch; eager per-array jnp.asarray would be a
+        # blocking relay round-trip each (CLAUDE.md transfer discipline).
+        metrics, _ = eval_step(state, batch)
         for k, v in jax.device_get(metrics).items():
             agg[k] = agg.get(k, 0.0) + float(v)
         n += 1
@@ -70,14 +73,22 @@ def resynthesis_metrics(
     # shuffles and bucket-drops, which would misalign rows vs texts here).
     r = cfg.arch.reduction_factor
     items = [
-        (text_mod.encode(u.text), pm.load_audio(u, cfg)) for u in utts
+        (
+            text_mod.encode(u.text, extra_chars=cfg.dataset.extra_chars),
+            pm.load_audio(u, cfg),
+        )
+        for u in utts
     ]
     text_len = max(len(ids) for ids, _ in items)
     max_frames = max(1 + len(a) // cfg.dataset.hop_len for _, a in items)
     fr = -(-max_frames // r) * r
     batch = pm.make_batch(items, text_len, fr, cfg)
-    samples = jnp.asarray(batch["samples"]).astype(jnp.float32) / 32767.0
-    _, gt_mel = jax.jit(lambda s: wav_to_features(s, cfg.dataset))(samples)
+    # Numpy PCM16 straight into the jit; the int16->f32 scale runs on device.
+    _, gt_mel = jax.jit(
+        lambda s: wav_to_features(
+            s.astype(jnp.float32) * (1.0 / 32767.0), cfg.dataset
+        )
+    )(batch["samples"])
     synth = Synthesizer(cfg, state.params, state.batch_stats)
     _, full = synth.synthesize_batch(
         [u.text for u in utts], full_output=True,

@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from sstts.config import ArchitectureConfig, DatasetConfig
-from sstts.data.text import VOCAB_SIZE
+from sstts.data.text import charset_for
 from sstts.model.decoder import DecoderCell, teacher_inputs
 from sstts.model.modules import CBHG, PreNet
 
@@ -40,7 +40,9 @@ class Tacotron(nn.Module):
 
     def setup(self) -> None:
         a = self.arch
-        vocab = a.vocab_size or VOCAB_SIZE
+        # Charset-derived vocab honors dataset.extra_chars (German umlauts
+        # etc. — SURVEY.md §2.3); base ids are stable, extras append.
+        vocab = a.vocab_size or charset_for(self.data.extra_chars).vocab_size
         self.embedding = nn.Embed(vocab, a.embedding_dim, dtype=self.dtype)
         # Encoder pre-net: dropout at train time only (decoder pre-net keeps
         # dropout at inference, per Tacotron-1 — that flag lives in the cell).

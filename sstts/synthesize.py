@@ -376,7 +376,10 @@ class Synthesizer:
         """
         cfg = self.cfg
         max_steps = max_steps or cfg.inference.max_decoder_steps
-        encoded = [text_mod.encode(t) for t in texts]
+        encoded = [
+            text_mod.encode(t, extra_chars=cfg.dataset.extra_chars)
+            for t in texts
+        ]
         longest = max(len(e) for e in encoded)
         bucket = text_bucket or min(_round_up(longest, 32), cfg.dataset.max_text_len)
         ids = np.zeros((len(texts), max(bucket, longest)), np.int32)
@@ -490,7 +493,10 @@ class Synthesizer:
                 np.concatenate(host, axis=0), jax.device_get(n_samples)
             )
         max_steps = max_steps or cfg.inference.max_decoder_steps
-        encoded = [text_mod.encode(t) for t in texts]
+        encoded = [
+            text_mod.encode(t, extra_chars=cfg.dataset.extra_chars)
+            for t in texts
+        ]
         longest = max(len(e) for e in encoded)
         bucket = text_bucket or min(_round_up(longest, 32), cfg.dataset.max_text_len)
         ids = np.zeros((len(texts), max(bucket, longest)), np.int32)
@@ -552,7 +558,7 @@ class Synthesizer:
         ds = self.cfg.dataset
         if max_chars is None:
             max_chars = ds.max_text_len - 1  # room for EOS
-        chunks = split_sentences(text, max_chars)
+        chunks = split_sentences(text, max_chars, ds.extra_chars)
         if not chunks:
             return np.zeros(0, np.float32)
         # Bucket the batch dimension (next power of two; under a mesh,

@@ -603,7 +603,13 @@ def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
     return jax.jit(eval_step)
 
 
-_MEDIA_WAV_FNS: Dict[int, Any] = {}
+# Jitted eval-media vocoders, keyed on (config, n_frames): the vocoder
+# closes over dataset/inference hparams (hop_len, n_fft, GL iters), so a
+# frame-count-only key would silently reuse a vocoder compiled for another
+# config in the same process.  Config is a frozen dataclass — hashable.
+# Cleared per test module by tests/conftest.py alongside the step builders
+# (bounding accumulated live executables — the XLA-CPU segfault envelope).
+_MEDIA_WAV_FNS: Dict[Any, Any] = {}
 
 
 def _log_eval_media(logger: MetricsLogger, step: int, cfg: Config, out) -> None:
@@ -623,16 +629,17 @@ def _log_eval_media(logger: MetricsLogger, step: int, cfg: Config, out) -> None:
         logger.log_image(step, "eval/mel", viz.plot_spectrogram(mel, "predicted mel"))
         linear = out["linear"][:1]
         n_frames = linear.shape[1]
-        # Cache the jitted vocoder per frame count: a fresh jit per eval
-        # would recompile the whole Griffin-Lim program every epoch.
-        fn = _MEDIA_WAV_FNS.get(n_frames)
+        # Cache the jitted vocoder per (config, frame count): a fresh jit
+        # per eval would recompile the whole Griffin-Lim program every epoch.
+        key = (cfg, n_frames)
+        fn = _MEDIA_WAV_FNS.get(key)
         if fn is None:
             fn = jax.jit(
                 lambda l: spectrogram_to_wav(
                     l, cfg, (n_frames - 1) * cfg.dataset.hop_len
                 )
             )
-            _MEDIA_WAV_FNS[n_frames] = fn
+            _MEDIA_WAV_FNS[key] = fn
         wav = fn(linear)
         logger.log_audio(
             step, "eval/audio", np.asarray(jax.device_get(wav[0])),
@@ -877,7 +884,10 @@ def _train_loop(
             n = 0
             last_out = None
             for _, ebatch in eval_batcher.epoch(0, cfg.evaluation.batch_size):
-                emetrics, eout = eval_step(state, jax.tree.map(jnp.asarray, ebatch))
+                # Numpy batch straight into the jitted step: the transfer
+                # folds into the async dispatch (an eager jnp.asarray per
+                # array is a blocking relay round-trip — CLAUDE.md).
+                emetrics, eout = eval_step(state, ebatch)
                 last_out = eout
                 for k, v in jax.device_get(emetrics).items():
                     agg[k] = agg.get(k, 0.0) + float(v)

@@ -46,4 +46,5 @@ def _bounded_compiler_state():
         train_mod.make_eval_step,
     ):
         builder.cache_clear()
+    train_mod._MEDIA_WAV_FNS.clear()
     jax.clear_caches()

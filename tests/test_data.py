@@ -1,5 +1,7 @@
 """Data layer tests: text codec, WAV I/O round-trip, corpus + batching."""
 
+import dataclasses
+
 import numpy as np
 import pytest
 
@@ -186,6 +188,72 @@ def test_css10_loader(tmp_path):
     # Normalized column preferred; umlauts transliterate to ASCII.
     assert utts[0].text == "ein maedchen."
     assert utts[1].text == "zwei satze hier."
+
+
+def test_extra_chars_charset():
+    """Configured extra chars survive normalization, ids append after the
+    base charset (base ids stable), and the default stays pure-ASCII."""
+    extra = ("äöüß",)
+    # Round-trip with the extended charset (ß is charset-native here).
+    norm = text_mod.normalize("Ein schönes Mädchen, größer!", extra)
+    assert norm == "ein schönes mädchen, größer!"
+    ids = text_mod.encode(norm, extra_chars=extra)
+    assert text_mod.decode(ids, extra) == norm
+    # Base ids identical between charsets; extras live past VOCAB_SIZE.
+    base_ids = text_mod.encode("hello there.", extra_chars=())
+    ext_ids = text_mod.encode("hello there.", extra_chars=extra)
+    assert (base_ids == ext_ids).all()
+    cs = text_mod.charset_for(extra)
+    assert cs.vocab_size == text_mod.VOCAB_SIZE + 4
+    assert all(
+        cs.char_to_id[c] >= text_mod.VOCAB_SIZE for c in ("ä", "ö", "ü", "ß")
+    )
+    # Default charset: transliteration (and ß→ss) unchanged.
+    assert text_mod.normalize("Mädchen") == "madchen"
+    assert text_mod.normalize("größer") == "grosser"
+    # Duplicate / already-ASCII extras are ignored, order-stable.
+    assert text_mod.charset_for(("aä", "ä")).vocab_size == text_mod.VOCAB_SIZE + 1
+
+
+def test_extra_chars_fingerprint_and_vocab():
+    """Empty extra_chars leaves the fingerprint untouched (old checkpoints
+    keep matching); a configured charset extension invalidates, and the
+    model's embedding table grows accordingly."""
+    base = Config()
+    assert "extra_chars" not in base.fingerprint()
+    german = base.replace(
+        dataset=DatasetConfig(extra_chars=("äöü",))
+    )
+    assert german.fingerprint() != base.fingerprint()
+
+    import jax
+    import jax.numpy as jnp
+
+    from sstts.config import tiny_config
+    from sstts.train import create_state
+
+    tiny = tiny_config()
+    tiny_de = tiny.replace(
+        dataset=dataclasses.replace(tiny.dataset, extra_chars=("äöü",))
+    )
+    n_base = create_state(tiny).params["embedding"]["embedding"].shape[0]
+    n_de = create_state(tiny_de).params["embedding"]["embedding"].shape[0]
+    assert n_de == n_base + 3
+    del jax, jnp
+
+
+def test_css10_loader_extra_chars(tmp_path):
+    """CSS10 + configured umlauts: the corpus text keeps them natively."""
+    from sstts.data.corpora import load_css10
+
+    (tmp_path / "transcript.txt").write_text(
+        "buch/1.wav|Ein Mädchen.||2.1\n", encoding="utf-8"
+    )
+    cfg = DatasetConfig(
+        dataset="css10", dataset_dir=str(tmp_path), extra_chars=("äöüß",)
+    )
+    utts = load_css10(cfg)
+    assert utts[0].text == "ein mädchen."
 
 
 def test_load_corpus_dispatch(tmp_path):
