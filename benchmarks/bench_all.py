@@ -293,11 +293,20 @@ def main() -> None:
     # TPU configs would block ~25 min on backend init during a relay
     # outage; reuse bench.py's bounded probe/recovery window (configs 1
     # and 5 run in CPU subprocesses and don't need the relay).
+    results = []
     if any(k.strip() not in ("1", "5") for k in args.configs.split(",")):
-        from bench import _require_backend
+        from bench import _dispatch_overhead_ms, _require_backend
 
         _require_backend()
-    results = []
+        # Window-health marker (CLAUDE.md; bench._dispatch_overhead_ms):
+        # recorded alongside the numbers so every sweep self-describes the
+        # relay window it was measured in.
+        marker_ms = _dispatch_overhead_ms()
+        print(
+            f"bench_all: dispatch-overhead marker {marker_ms:.1f} ms/call",
+            flush=True,
+        )
+        results.append({"dispatch_overhead_ms": round(marker_ms, 1)})
     for key in args.configs.split(","):
         key = key.strip()
         print(f"=== config {key} ===", flush=True)

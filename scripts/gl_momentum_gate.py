@@ -1,0 +1,146 @@
+"""Quality-gate + time fast Griffin-Lim (momentum) against classic GL-60.
+
+VERDICT round-2 #1: `griffin_lim_momentum` is implemented and unit-tested
+(tests/test_dsp.py::test_griffin_lim_momentum_converges_faster) but was never
+gated at flagship shapes or offered as a serving mode.  GL is ~85% of the
+headline batch's compute, so "GL-60 quality in roughly half the iterations"
+(Perraudin et al. 2013) is the largest untapped single-chip RTF lever.
+
+This script measures BOTH halves of the decision at flagship DSP shapes
+(n_fft=2048, hop=275, win=1102, T=800 — 10 s/utterance):
+
+1. QUALITY: spectral convergence (mean |`|STFT(y)|` - mag| / mean mag,
+   float64 oracle) of each (iters, momentum) candidate vs the GL-60
+   classic baseline on a multi-tone + noise test batch.  Gate: candidate
+   error <= 1.05x baseline error.
+2. COST: chained in-program wall time (K data-dependent runs inside ONE
+   jit call minus an empty-program baseline — the relay-honest methodology
+   of scripts/profile_gl_chain.py).
+
+Usage: timeout 3600 python scripts/gl_momentum_gate.py [K] [B] [T]
+(run on the TPU via the default axon backend; add SSTTS_CPU=1 to force CPU)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from scripts._common import timed  # noqa: E402
+
+K = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+T = int(sys.argv[3]) if len(sys.argv) > 3 else 800
+
+# (iters, momentum) candidates; (60, 0.0) is the classic reference baseline.
+CANDIDATES = [
+    (60, 0.0),
+    (40, 0.9),
+    (40, 0.99),
+    (35, 0.99),
+    (30, 0.99),
+    (30, 0.9),
+    (25, 0.99),
+]
+
+
+def main() -> None:
+    if os.environ.get("SSTTS_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sstts.dsp import griffin_lim as gl
+    from sstts.dsp import reference as ref
+
+    n_fft, hop, win = 2048, 275, 1102
+    length = (T - 1) * hop
+    sr = 22050
+    rng = np.random.default_rng(0)
+    t = np.arange(length) / sr
+    sigs = []
+    for b in range(B):
+        f0 = 180.0 + 60.0 * b
+        y = sum(
+            a * np.sin(2 * np.pi * f0 * h * t)
+            for h, a in ((1, 0.5), (2, 0.25), (3, 0.12), (7, 0.06))
+        )
+        y += 0.03 * rng.standard_normal(length)
+        sigs.append(y)
+    mags = np.stack(
+        [
+            np.abs(ref.stft(y, n_fft, hop, win))[:T].astype(np.float32)
+            for y in sigs
+        ]
+    )  # (B, T, 1025)
+
+    def spectral_err(wavs):
+        errs = []
+        for b in range(B):
+            got = np.abs(
+                ref.stft(wavs[b].astype(np.float64), n_fft, hop, win)
+            )[:T]
+            errs.append(np.abs(got - mags[b]).mean() / mags[b].mean())
+        return float(np.mean(errs))
+
+    # --- quality pass (one compiled program per candidate) ---------------
+    print(f"quality gate at B={B} x T={T} (length {length}):", flush=True)
+    results = {}
+    for iters, m in CANDIDATES:
+        f = jax.jit(
+            lambda mag, iters=iters, m=m: gl.griffin_lim(
+                mag, n_fft, hop, win, iters, length, momentum=m,
+                fft_impl="dft_default", iter_impl="split",
+            )
+        )
+        wavs = np.asarray(f(mags))
+        results[(iters, m)] = spectral_err(wavs)
+        print(f"  GL-{iters} m={m}: err {results[(iters, m)]:.4f}", flush=True)
+    base = results[(60, 0.0)]
+    print("\ngate (err <= 1.05x GL-60 classic):", flush=True)
+    for (iters, m), err in results.items():
+        if (iters, m) == (60, 0.0):
+            continue
+        verdict = "PASS" if err <= base * 1.05 else "fail"
+        print(
+            f"  GL-{iters} m={m}: {err:.4f} vs {base:.4f} "
+            f"({err / base:.3f}x) {verdict}",
+            flush=True,
+        )
+
+    # --- cost pass (chained in-program) -----------------------------------
+    mag_j = jnp.asarray(mags)
+
+    def chain(iters, m):
+        def f(mag):
+            acc = jnp.float32(0.0)
+            for _ in range(K):
+                y = gl.griffin_lim(
+                    mag, n_fft, hop, win, iters, length, momentum=m,
+                    fft_impl="dft_default", iter_impl="split",
+                ).astype(jnp.float32)
+                s = jnp.sum(y)
+                acc = acc + s
+                mag = mag + (s * 1e-20).astype(mag.dtype)
+            return acc
+        return jax.jit(f)
+
+    base_fn = jax.jit(lambda mag: jnp.sum(mag) * 2.0)
+    t_base = timed("empty baseline", base_fn, mag_j)
+    print(f"\nin-program cost (b={B}, T={T}, chained x{K}):", flush=True)
+    for iters, m in CANDIDATES:
+        tt = timed(f"GL-{iters} m={m} x{K}", chain(iters, m), mag_j)
+        print(
+            f"  GL-{iters} m={m}: {(tt - t_base) / K:.1f} ms in-program",
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -72,8 +72,14 @@ def griffin_lim(
     Deterministic zero-phase init, matching `reference.griffin_lim` at
     momentum=0.  momentum>0 enables the accelerated ("fast") Griffin-Lim
     update (Perraudin et al. 2013): the projected spectrum is extrapolated by
-    `momentum * (c_t - c_{t-1})` before taking the phase, converging to the
-    60-iteration quality in roughly half the iterations at momentum~0.99.
+    `momentum * (c_t - c_{t-1})` before taking the phase.  Quality-gated at
+    flagship shapes on v5e (scripts/gl_momentum_gate.py, 2026-08-19,
+    b=4 x 800 frames, float64-oracle spectral convergence): GL-30 @ m=0.99
+    reaches 0.824x classic GL-60's error (GL-40 @ 0.99: 0.710x; GL-25 @
+    0.99: 0.919x — all BETTER than 60 classic iterations) at half the
+    in-program cost (7.1 vs 13.8 ms, split path).  Serving stacks probe
+    momentum candidates (bench.py); the config default stays the
+    reference-parity classic GL-60.
 
     "dft*" impls run the loop in pure real arithmetic — (re, im) arrays, two
     direct GEMMs per transform, no complex dtype and no concat/slice
@@ -262,25 +268,28 @@ def _loop_banded(
     # (2 of 1025 bins, both carrying negligible energy for pre-emphasized
     # speech); the final synthesis below unpacks and projects both exactly.
     iter_impl = iter_impl or GL_ITER_IMPL
-    if iter_impl not in ("auto", "split", "split_xla", "fused"):
+    if iter_impl not in ("auto", "split", "split_xla", "fused", "semi"):
         raise ValueError(
             f"unknown griffin_lim iter_impl {iter_impl!r}; expected one of "
-            "'auto', 'split', 'split_xla', 'fused'"
+            "'auto', 'split', 'split_xla', 'fused', 'semi'"
         )
     if momentum > 0.0 and iter_impl == "fused":
         raise ValueError(
             "iter_impl='fused' does not support griffin_lim_momentum > 0 "
             "(the fused kernel folds renorm into the iteration); use "
-            "'split' or momentum=0"
+            "'split', 'semi', or momentum=0"
         )
     # "split_xla": mesh-safe split iteration, Pallas-free data path.
     reproject_impl = "xla" if iter_impl == "split_xla" else "auto"
     packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
     hb = half - 1 if packed else half
-    # The fused iteration kernel requires the 128-lane-padded layout even in
-    # interpret mode, and "split_xla" pads on CPU too so tests exercise the
-    # exact TPU-mesh geometry (the padded-lane XLA reprojection).
-    if jax.default_backend() == "tpu" or iter_impl in ("fused", "split_xla"):
+    # The fused/semi iteration kernels require the 128-lane-padded layout
+    # even in interpret mode, and "split_xla" pads on CPU too so tests
+    # exercise the exact TPU-mesh geometry (the padded-lane XLA
+    # reprojection).
+    if jax.default_backend() == "tpu" or iter_impl in (
+        "fused", "split_xla", "semi"
+    ):
         hp = -(-hb // 128) * 128
         wp = -(-w_len // 128) * 128
     else:
@@ -372,7 +381,41 @@ def _loop_banded(
         and momentum == 0.0
         and jax.default_backend() == "tpu"
     )
-    if momentum > 0.0:
+    if iter_impl == "semi":
+        # Semi-fused iteration: GEMM1 in XLA, then one Pallas kernel for
+        # reprojection + analysis GEMM + renorm (+ momentum extrapolation).
+        from sstts.dsp.gl_fused import fused_reproject_analyze
+
+        mag2 = jnp.concatenate(
+            [mag_r.astype(loop_dtype), mag_i.astype(loop_dtype)], axis=-1
+        )
+        interp = jax.default_backend() != "tpu"
+
+        if momentum > 0.0:
+
+            def body(_, carry):
+                q, prev = carry
+                frames = mm(q, w_inv).astype(loop_dtype)
+                return fused_reproject_analyze(
+                    frames, mag2, w_fwd, n_fft, hop_length, win_length,
+                    length, prev=prev, momentum=momentum,
+                    precision=precision, interpret=interp,
+                )
+
+            q, _ = jax.lax.fori_loop(
+                0, n_iters, body, (q0, jnp.zeros_like(q0))
+            )
+        else:
+
+            def body(_, q):
+                frames = mm(q, w_inv).astype(loop_dtype)
+                return fused_reproject_analyze(
+                    frames, mag2, w_fwd, n_fft, hop_length, win_length,
+                    length, precision=precision, interpret=interp,
+                )
+
+            q = jax.lax.fori_loop(0, n_iters, body, q0)
+    elif momentum > 0.0:
         m = np.float32(momentum)
 
         def body(_, carry):

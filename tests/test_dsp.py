@@ -266,6 +266,29 @@ def test_griffin_lim_momentum_converges_faster(rng):
         spectral_err(fast), spectral_err(classic))
 
 
+def test_griffin_lim_momentum_banded_split_path(rng):
+    """Fast-GL through the production serving path (banded data path,
+    bf16 DFT GEMMs, split iteration) — the exact configuration bench.py's
+    quality-gated momentum candidates run (gl_momentum_gate.py)."""
+    cfg = CFG
+    n = 4000
+    y = _signal(n, cfg.sample_rate, rng)
+    mag = np.abs(ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)).astype(np.float32)
+
+    def spectral_err(wav):
+        got = np.abs(ref.stft(wav.astype(np.float64), cfg.n_fft, cfg.hop_len, cfg.win_len))
+        return np.abs(got - mag).mean() / mag.mean()
+
+    kw = dict(fft_impl="dft_default", iter_impl="split")
+    classic = np.asarray(gl.griffin_lim(
+        jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 16, n, **kw))
+    fast = np.asarray(gl.griffin_lim(
+        jnp.asarray(mag), cfg.n_fft, cfg.hop_len, cfg.win_len, 8, n,
+        momentum=0.99, **kw))
+    assert spectral_err(fast) <= spectral_err(classic) * 1.1, (
+        spectral_err(fast), spectral_err(classic))
+
+
 def test_rdft_impl_in_gl_matches_xla_impl(rng):
     """Griffin-Lim with the direct-rDFT GEMM path == jnp.fft path (CPU f32)."""
     cfg = CFG
@@ -479,6 +502,78 @@ def test_gl_fused_tiny_frame_count(rng):
             gl.GL_ITER_IMPL = old
     a, b = outs["split"], outs["fused"]
     np.testing.assert_allclose(a, b, rtol=0, atol=5e-4 * np.abs(a).max())
+
+
+@pytest.mark.parametrize("momentum", [0.0, 0.99])
+def test_gl_semi_iteration_matches_split(rng, momentum):
+    """Full GL, f32 loop: the semi-fused iteration tail (reprojection +
+    analysis GEMM + renorm in one Pallas kernel, interpret mode on CPU)
+    matches the split path, with and without the fast-GL momentum update,
+    including the reflect-pad edge-row repair.  Momentum compounds f32
+    summation-order noise through the extrapolation, hence its tolerance."""
+    n_fft, hop, win_length, T = 512, 100, 400, 30
+    length = (T - 1) * hop
+    mag = jnp.asarray(rng.random((2, T, n_fft // 2 + 1)) ** 2, jnp.float32)
+    outs = {
+        impl: np.asarray(
+            gl.griffin_lim(mag, n_fft, hop, win_length, 6, length,
+                           momentum=momentum, fft_impl="dft_high",
+                           iter_impl=impl)
+        )
+        for impl in ("split", "semi")
+    }
+    a, b = outs["split"], outs["semi"]
+    tol = (1e-3 if momentum else 5e-4) * np.abs(a).max()
+    np.testing.assert_allclose(a, b, rtol=0, atol=tol)
+
+
+def test_gl_semi_packed_bf16_reconstructs(rng):
+    """Production shape of the semi-fused path: bf16 loop with Nyquist
+    packing, fast-GL momentum.  Reconstruction quality must track split."""
+    cfg = CFG
+    n = 3000
+    y = _signal(n, cfg.sample_rate, rng)
+    mag = np.abs(
+        ref.stft(y, cfg.n_fft, cfg.hop_len, cfg.win_len)
+    ).astype(np.float32)
+
+    def spectral_err(wav):
+        got = np.abs(
+            ref.stft(wav.astype(np.float64), cfg.n_fft, cfg.hop_len, cfg.win_len)
+        )
+        return np.abs(got - mag).mean() / mag.mean()
+
+    outs = {
+        impl: np.asarray(
+            gl.griffin_lim(jnp.asarray(mag), cfg.n_fft, cfg.hop_len,
+                           cfg.win_len, 8, n, momentum=0.99,
+                           fft_impl="dft_default", iter_impl=impl)
+        )
+        for impl in ("split", "semi")
+    }
+    assert np.isfinite(outs["semi"]).all()
+    e_split = spectral_err(outs["split"])
+    e_semi = spectral_err(outs["semi"])
+    assert e_semi <= e_split * 1.15, (e_semi, e_split)
+
+
+def test_gl_semi_tiny_frame_count(rng):
+    """Tiny frame counts take the whole-array edge-repair fallback in the
+    semi-fused path too, and still match split (momentum exercised)."""
+    n_fft, hop, win_length, T = 512, 100, 400, 5
+    length = (T - 1) * hop
+    mag = jnp.asarray(rng.random((1, T, n_fft // 2 + 1)) ** 2, jnp.float32)
+    for momentum in (0.0, 0.9):
+        outs = {
+            impl: np.asarray(
+                gl.griffin_lim(mag, n_fft, hop, win_length, 4, length,
+                               momentum=momentum, fft_impl="dft_high",
+                               iter_impl=impl)
+            )
+            for impl in ("split", "semi")
+        }
+        a, b = outs["split"], outs["semi"]
+        np.testing.assert_allclose(a, b, rtol=0, atol=1e-3 * np.abs(a).max())
 
 
 def test_gl_split_xla_matches_split(rng):
