@@ -39,21 +39,26 @@ GL_DATA_PATH = "banded"
 
 #: Iteration fusion for the banded loop: "split" = iSTFT GEMM, Pallas
 #: reprojection, STFT GEMM, and renorm as separate XLA ops (spectrum and
-#: frames round-trip HBM between stages); "fused" = the whole iteration as
-#: one Pallas kernel (`sstts.dsp.gl_fused`), one HBM read of (q, mag) and
-#: one write of q' per iteration.  "auto" = fused on TPU at momentum=0.
-#: "split_xla" = split iteration with the XLA banded reprojection (no
-#: Pallas custom calls — required under a GSPMD-partitioned mesh program,
-#: which cannot shard opaque custom calls; `Synthesizer` selects it
-#: automatically when given a mesh).  Default "split": the round-2
-#: chained in-program A/B on v5e (scripts/profile_gl_chain.py, dispatch
-#: overhead amortized away) measured GL-60 at b=4 x 800 frames as
-#: split 13.3 ms vs fused 14.3 ms — the fused kernel does NOT beat the
-#: split data path on compute.  Its remaining value is compile cost:
-#: local Mosaic compiles in seconds where the split XLA graph pays the
-#: remote compile service (minutes when degraded), so serving stacks
-#: (bench.py) still probe it as a candidate.
-GL_ITER_IMPL = "split"
+#: frames round-trip HBM between stages); "semi" = GEMM1 stays in XLA and
+#: reprojection + analysis GEMM + renorm (+ momentum extrapolation) fuse
+#: into one Pallas kernel (`gl_fused.fused_reproject_analyze`) — two fewer
+#: full-array HBM round-trips per iteration; "fused" = the whole iteration
+#: as one Pallas kernel (`sstts.dsp.gl_fused`).  "split_xla" = split
+#: iteration with the XLA banded reprojection (no Pallas custom calls —
+#: required under a GSPMD-partitioned mesh program, which cannot shard
+#: opaque custom calls; `Synthesizer` selects it automatically when given
+#: a mesh).  Default "auto" = "semi" on TPU, "split" elsewhere (the Pallas
+#: kernels run interpret-mode off-TPU — tests only).  Round-3 chained
+#: in-program A/B on v5e at the HEADLINE shapes (b=32 x 800,
+#: scripts/profile_gl_semi.py, same window): GL-60 split 140.9 ms vs semi
+#: 125.8 ms (and GL-30 @ m=0.99: split 80.1 vs semi 76.6 ms) — the
+#: semi-fusion's traffic saving wins where the fully fused kernel's
+#: in-kernel GEMM1 lost (round-2: split 13.3 vs fused 14.3 ms at b=4).
+#: The fused kernel's remaining value is compile cost: local Mosaic
+#: compiles in seconds where the split/semi XLA graph pays the remote
+#: compile service (minutes when degraded), so serving stacks (bench.py)
+#: still probe it as a candidate.
+GL_ITER_IMPL = "auto"
 
 
 def griffin_lim(
@@ -279,6 +284,12 @@ def _loop_banded(
             "(the fused kernel folds renorm into the iteration); use "
             "'split', 'semi', or momentum=0"
         )
+    if iter_impl == "auto":
+        # Measured disposition (round 3, scripts/profile_gl_semi.py, same
+        # window): at headline shapes (b=32 x 800) semi beats split GL-60
+        # 125.8 vs 140.9 ms and GL-30@m=0.99 76.6 vs 80.1 ms.  Off-TPU the
+        # Pallas kernels only run interpret-mode, so split is the default.
+        iter_impl = "semi" if jax.default_backend() == "tpu" else "split"
     # "split_xla": mesh-safe split iteration, Pallas-free data path.
     reproject_impl = "xla" if iter_impl == "split_xla" else "auto"
     packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
@@ -376,11 +387,6 @@ def _loop_banded(
     q0 = jnp.concatenate(
         [mag_r.astype(loop_dtype), qi0.astype(loop_dtype)], axis=-1
     )
-    use_fused = iter_impl == "fused" or (
-        iter_impl == "auto"
-        and momentum == 0.0
-        and jax.default_backend() == "tpu"
-    )
     if iter_impl == "semi":
         # Semi-fused iteration: GEMM1 in XLA, then one Pallas kernel for
         # reprojection + analysis GEMM + renorm (+ momentum extrapolation).
@@ -428,7 +434,7 @@ def _loop_banded(
         q, _ = jax.lax.fori_loop(
             0, n_iters, body, (q0, jnp.zeros_like(q0))
         )
-    elif use_fused:
+    elif iter_impl == "fused":
         from sstts.dsp.gl_fused import fused_gl_iteration
 
         mag2 = jnp.concatenate(
