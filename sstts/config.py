@@ -145,6 +145,14 @@ class ArchitectureConfig:
     #: large resident corpus).  Identical loss/grads (tested); checkpoint-
     #: compatible (excluded from the fingerprint).
     remat_decoder: bool = False
+    #: Unroll factor for the teacher-forced decoder scan (lax.scan unroll):
+    #: >1 replicates the step body per loop iteration so XLA can pipeline
+    #: across steps — targets the scan BACKWARD, where per-iteration
+    #: overhead dominates (fwd 0.42 vs fwd+bwd 4.49 ms at b=32, S=80).
+    #: Numerically identical (tested); checkpoint-compatible (excluded
+    #: from the fingerprint).  Step counts ship padded to bucket sizes,
+    #: which are multiples of any small unroll.
+    decoder_scan_unroll: int = 1
     # Decoder.
     #: "bahdanau" (reference default) or "local_luong" (thesis variant).
     attention_type: str = "bahdanau"
@@ -354,6 +362,7 @@ class Config:
             {
                 "fused_conv_bank",
                 "remat_decoder",
+                "decoder_scan_unroll",
                 "loss_low_freq_weight",
                 "loss_low_freq_hz",
                 "stop_token_weight",

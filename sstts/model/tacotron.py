@@ -148,6 +148,7 @@ class Tacotron(nn.Module):
                 split_rngs={"params": False, "dropout": True},
                 in_axes=1,
                 out_axes=1,
+                unroll=self.arch.decoder_scan_unroll,
             )
             _, (xs, alignments) = scan(self.decoder_cell, carry0, pre)
         mel = self.decoder_cell.frame_proj(xs).reshape(

@@ -630,6 +630,30 @@ def test_remat_decoder_matches():
     )
 
 
+def test_decoder_scan_unroll_matches():
+    """arch.decoder_scan_unroll changes loop structure, not math: one train
+    step produces the same loss and gradients as the rolled scan, including
+    at an unroll that does not divide the step count (lax.scan runs the
+    remainder tail)."""
+    cfg = _cfg()
+    batch = jax.tree.map(jnp.asarray, _one_batch(cfg))
+    s0 = train_mod.create_state(cfg)
+    _, m0 = train_mod.make_train_step(cfg)(s0, batch)
+    for u in (2, 3):
+        ucfg = cfg.replace(
+            arch=dataclasses.replace(cfg.arch, decoder_scan_unroll=u)
+        )
+        assert ucfg.fingerprint() == cfg.fingerprint()
+        s1 = train_mod.create_state(ucfg)
+        _, m1 = train_mod.make_train_step(ucfg)(s1, batch)
+        np.testing.assert_allclose(
+            float(m0["loss"]), float(m1["loss"]), rtol=1e-5
+        )
+        np.testing.assert_allclose(
+            float(m0["grad_norm"]), float(m1["grad_norm"]), rtol=1e-4
+        )
+
+
 def test_feature_fft_impl_train_step():
     """training.feature_fft_impl swaps the featurization transform, not the
     training math: the fingerprint is stable and one step's loss matches the
