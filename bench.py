@@ -179,8 +179,15 @@ def main() -> None:
     # — i.e. BETTER quality in half the iterations — and in-program cost
     # 7.1 ms vs 13.8 ms at b=4 x 800.  Stream depth is a host-side knob
     # (no compile), probed per candidate.
+    # Semi-fused candidates lead: the round-3 headline-shape A/B
+    # (scripts/profile_gl_semi.py, b=32 x 800, same window) measured semi
+    # beating split at GL-60 (125.8 vs 140.9 ms) AND at the gated fast
+    # config GL-30 @ m=0.99 (76.6 vs 80.1 ms).
     queue = [
+        (8, 4, "semi", "pcm16", 30, 0.99),
+        (8, 4, "semi", "mulaw8", 30, 0.99),
         (8, 4, "fused", "pcm16", 60, 0.0),
+        (8, 4, "semi", "pcm16", 60, 0.0),
         (8, 4, "split", "pcm16", 30, 0.99),
         (8, 4, "split", "mulaw8", 30, 0.99),
         (8, 4, "fused", "mulaw8", 60, 0.0),
@@ -249,7 +256,12 @@ def main() -> None:
             and best is not None
             and best[0] > degraded_batch_s
         ):
+            # Fused compiles locally (Mosaic) — cheap even when the remote
+            # compile service is degraded; the semi fast-GL variant halves
+            # both the iterations and the per-batch dispatches but pays a
+            # remote XLA compile, so it goes second.
             queue.insert(0, (2, 4, "fused", "pcm16", 60, 0.0))
+            queue.insert(1, (2, 4, "semi", "mulaw8", 30, 0.99))
             low_chunk_queued = True
         if time.perf_counter() - t_start > probe_budget_s and best is not None:
             break
