@@ -17,12 +17,20 @@ This script measures BOTH halves of the decision at flagship DSP shapes
    jit call minus an empty-program baseline — the relay-honest methodology
    of scripts/profile_gl_chain.py).
 
+A third arm (`--copy-synthesis N`) gates the candidates on COPY-SYNTHESIS
+mel-L1: ground-truth linear features of N synthetic-corpus utterances are
+vocoded through the full serving inverse chain (`spectrogram_to_wav`) and
+the reconstruction's re-analyzed mel is compared to the ground truth —
+the vocoder measured exactly as serving uses it, on speech-shaped inputs.
+
 Usage: timeout 3600 python scripts/gl_momentum_gate.py [K] [B] [T]
+           [--copy-synthesis N] [--skip-cost]
 (run on the TPU via the default axon backend; add SSTTS_CPU=1 to force CPU)
 """
 
 from __future__ import annotations
 
+import argparse
 import os
 import sys
 from pathlib import Path
@@ -31,9 +39,20 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 from scripts._common import timed  # noqa: E402
 
-K = int(sys.argv[1]) if len(sys.argv) > 1 else 4
-B = int(sys.argv[2]) if len(sys.argv) > 2 else 4
-T = int(sys.argv[3]) if len(sys.argv) > 3 else 800
+_ap = argparse.ArgumentParser()
+_ap.add_argument("K", nargs="?", type=int, default=4)
+_ap.add_argument("B", nargs="?", type=int, default=4)
+_ap.add_argument("T", nargs="?", type=int, default=800)
+_ap.add_argument(
+    "--copy-synthesis", type=int, default=0, metavar="N",
+    help="also gate on copy-synthesis mel-L1 over N synthetic utterances",
+)
+_ap.add_argument(
+    "--skip-cost", action="store_true",
+    help="skip the chained in-program cost pass (quality arms only)",
+)
+_args = _ap.parse_args()
+K, B, T = _args.K, _args.B, _args.T
 
 # (iters, momentum) candidates; (60, 0.0) is the classic reference baseline.
 CANDIDATES = [
@@ -114,6 +133,11 @@ def main() -> None:
             flush=True,
         )
 
+    if _args.copy_synthesis:
+        copy_synthesis(_args.copy_synthesis)
+    if _args.skip_cost:
+        return
+
     # --- cost pass (chained in-program) -----------------------------------
     mag_j = jnp.asarray(mags)
 
@@ -138,6 +162,85 @@ def main() -> None:
         tt = timed(f"GL-{iters} m={m} x{K}", chain(iters, m), mag_j)
         print(
             f"  GL-{iters} m={m}: {(tt - t_base) / K:.1f} ms in-program",
+            flush=True,
+        )
+
+
+def copy_synthesis(n_utts: int) -> None:
+    """Copy-synthesis quality arm: vocode GROUND-TRUTH linear features
+    through the exact serving inverse chain (`spectrogram_to_wav`: dB
+    de-norm -> GL power -> Griffin-Lim -> de-emphasis), re-analyze the
+    reconstruction with `wav_to_features`, and compare its mel to the
+    ground-truth mel.  Unlike the harmonic-batch arm above this runs on
+    speech-shaped synthetic-corpus audio and through the full production
+    feature/inverse code path (round-2 VERDICT next-step #1's second
+    harness).  Gate: candidate mel-L1 <= 1.05x classic GL-60's."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sstts.config import Config
+    from sstts.data import pipeline as pm
+    from sstts.data.synthetic import make_utterances
+    from sstts.dsp.griffin_lim import spectrogram_to_wav
+    from sstts.dsp.ops import wav_to_features
+
+    base_cfg = Config()
+    base_cfg = base_cfg.replace(
+        dataset=dataclasses.replace(base_cfg.dataset, dataset="synthetic")
+    )
+    ds = base_cfg.dataset
+    utts = make_utterances(n_utts, ds)
+    wavs = [pm.load_audio(u, base_cfg) for u in utts]
+    # One fixed shape (static-shape contract): trim/zero-pad every
+    # utterance to T frames so each candidate is ONE compiled program.
+    frames = min(max(1 + len(y) // ds.hop_len for y in wavs), 400)
+    length = (frames - 1) * ds.hop_len
+    batch = np.zeros((n_utts, length), np.float32)
+    for i, y in enumerate(wavs):
+        n = min(len(y), length)
+        batch[i, :n] = np.asarray(y[:n], np.float32)
+
+    gt_linear, gt_mel = (
+        np.asarray(a)
+        for a in jax.jit(lambda y: wav_to_features(y, ds))(batch)
+    )
+    print(
+        f"\ncopy-synthesis gate ({n_utts} synthetic utterances, "
+        f"{gt_linear.shape[1]} frames each):",
+        flush=True,
+    )
+    results = {}
+    for iters, m in CANDIDATES:
+        cfg = base_cfg.replace(
+            inference=dataclasses.replace(
+                base_cfg.inference,
+                griffin_lim_iters=iters,
+                griffin_lim_momentum=m,
+            )
+        )
+        recon = jax.jit(
+            lambda lin, cfg=cfg: wav_to_features(
+                spectrogram_to_wav(lin, cfg, length), ds
+            )[1]
+        )
+        mel = np.asarray(recon(gt_linear))
+        results[(iters, m)] = float(np.abs(mel - gt_mel).mean())
+        print(
+            f"  GL-{iters} m={m}: mel-L1 {results[(iters, m)]:.5f}",
+            flush=True,
+        )
+    base = results[(60, 0.0)]
+    print("gate (mel-L1 <= 1.05x GL-60 classic):", flush=True)
+    for (iters, m), err in results.items():
+        if (iters, m) == (60, 0.0):
+            continue
+        verdict = "PASS" if err <= base * 1.05 else "fail"
+        print(
+            f"  GL-{iters} m={m}: {err:.5f} vs {base:.5f} "
+            f"({err / base:.3f}x) {verdict}",
             flush=True,
         )
 
