@@ -95,6 +95,11 @@ def build_parser() -> argparse.ArgumentParser:
                    "sentence boundaries, batch-synthesize, join into a "
                    "single WAV (--out applies)")
     s.add_argument("--out", default=None, help="output WAV path (single text)")
+    s.add_argument("--fast-vocoder", action="store_true",
+                   help="quality-gated fast Griffin-Lim preset (30 "
+                   "iterations @ momentum 0.99, ~1.8x faster vocoding at "
+                   "matched quality; docs/performance.md §9). Explicit "
+                   "--set inference.* overrides still win")
     return p
 
 
@@ -146,6 +151,13 @@ def main(argv=None) -> int:
 
     if args.command == "synthesize":
         from sstts.synthesize import Synthesizer
+
+        if args.fast_vocoder:
+            # Preset first, then the user's dotted overrides re-apply so an
+            # explicit --set inference.griffin_lim_* always wins.
+            from sstts.config import with_fast_vocoder
+
+            cfg = apply_overrides(with_fast_vocoder(Config()), args.overrides)
 
         texts = list(args.text)
         if args.text_file:

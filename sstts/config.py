@@ -400,6 +400,24 @@ class Config:
         )
 
 
+def with_fast_vocoder(cfg: Config) -> Config:
+    """The quality-gated fast Griffin-Lim serving preset.
+
+    30 iterations at momentum 0.99 — gated against classic GL-60 on three
+    harnesses (harmonic spectral convergence 0.824x, copy-synthesis mel-L1
+    0.998x, trained-checkpoint AR synthesis 0.998x; `scripts/
+    gl_momentum_gate.py`, `scripts/gl_trained_ab.py`, docs/performance.md
+    §9) and ~1.8x faster at serving shapes.  Inference-only fields: the
+    checkpoint fingerprint is unaffected, so the preset applies to any
+    existing checkpoint.  Exposed as `sstts.cli synthesize --fast-vocoder`.
+    """
+    return cfg.replace(
+        inference=dataclasses.replace(
+            cfg.inference, griffin_lim_iters=30, griffin_lim_momentum=0.99
+        )
+    )
+
+
 def tiny_config() -> Config:
     """A miniature config for tests and compile-check entry points."""
     return Config(

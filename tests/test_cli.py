@@ -60,6 +60,46 @@ def test_cli_train_then_synthesize(tmp_path, monkeypatch):
     assert all(w.stat().st_size > 44 for w in wavs)  # header + samples
 
 
+def test_fast_vocoder_preset_and_override_precedence(tmp_path, monkeypatch):
+    """--fast-vocoder applies the gated GL-30 @ m=0.99 preset to the
+    synthesize config; an explicit --set inference.* override still wins;
+    the preset never touches state-defining (fingerprint) fields."""
+    from sstts.config import Config as RealConfig
+    from sstts.config import with_fast_vocoder
+
+    base = RealConfig()
+    fast = with_fast_vocoder(base)
+    assert fast.inference.griffin_lim_iters == 30
+    assert fast.inference.griffin_lim_momentum == 0.99
+    assert fast.fingerprint() == base.fingerprint()
+
+    _patch_config(monkeypatch)
+    captured = {}
+
+    class FakeSynth:
+        @classmethod
+        def from_checkpoint(cls, cfg, workdir):
+            captured["cfg"] = cfg
+            raise FileNotFoundError(workdir)
+
+    monkeypatch.setattr("sstts.synthesize.Synthesizer", FakeSynth)
+    rc = cli_mod.main(
+        ["synthesize", "--workdir", str(tmp_path), "--text", "hi",
+         "--fast-vocoder"]
+    )
+    assert rc == 1  # no checkpoint — but the cfg was already built
+    assert captured["cfg"].inference.griffin_lim_iters == 30
+    assert captured["cfg"].inference.griffin_lim_momentum == 0.99
+
+    rc = cli_mod.main(
+        ["synthesize", "--workdir", str(tmp_path), "--text", "hi",
+         "--fast-vocoder", "--set", "inference.griffin_lim_iters=40"]
+    )
+    assert rc == 1
+    assert captured["cfg"].inference.griffin_lim_iters == 40  # --set wins
+    assert captured["cfg"].inference.griffin_lim_momentum == 0.99
+
+
 def test_cli_synthesize_requires_text(tmp_path, monkeypatch):
     _patch_config(monkeypatch)
     rc = cli_mod.main(["synthesize", "--workdir", str(tmp_path)])
