@@ -41,21 +41,25 @@ def _timeit(fn, trials=3):
 
 
 def bench_synthesis(
-    batch: int, max_steps: int, label: str, pipeline_chunks: int = 1
+    batch: int, max_steps: int, label: str, pipeline_chunks: int = 1,
+    fast_vocoder: bool = False,
 ) -> dict:
     import jax
 
-    from sstts.config import Config
+    from sstts.config import Config, with_fast_vocoder
     from sstts.synthesize import Synthesizer
     from sstts.train import create_state
 
     cfg = Config()
+    if fast_vocoder:
+        cfg = with_fast_vocoder(cfg)
     cfg = cfg.replace(
         inference=dataclasses.replace(
             cfg.inference,
             max_decoder_steps=max_steps,
             stop_threshold=1.1,  # untrained weights: run to max_steps
-            griffin_lim_iters=60,
+            # the fast_vocoder preset already set iters=30 @ momentum 0.99
+            griffin_lim_iters=cfg.inference.griffin_lim_iters if fast_vocoder else 60,
             pipeline_chunks=pipeline_chunks,
         )
     )
@@ -96,6 +100,16 @@ def bench_config_1() -> dict:
 
 def bench_config_2() -> dict:
     return bench_synthesis(32, 160, "batched_synthesis_b32", pipeline_chunks=8)
+
+
+def bench_config_2f() -> dict:
+    """Config 2 through the quality-gated fast-vocoder preset (GL-30 @
+    momentum 0.99, `sstts.config.with_fast_vocoder`) — the single-call
+    latency path with the round-3 serving default."""
+    return bench_synthesis(
+        32, 160, "batched_synthesis_b32_fast_vocoder", pipeline_chunks=8,
+        fast_vocoder=True,
+    )
 
 
 def bench_config_3() -> dict:
@@ -278,6 +292,7 @@ def _bench_dp_training(n_devices: int) -> dict:
 BENCHES = {
     "1": bench_config_1,
     "2": bench_config_2,
+    "2f": bench_config_2f,
     "3": bench_config_3,
     "3c": bench_config_3c,
     "4": bench_config_4,
@@ -287,7 +302,7 @@ BENCHES = {
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,3,3c,4,5")
+    ap.add_argument("--configs", default="1,2,2f,3,3c,4,5")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     # TPU configs would block ~25 min on backend init during a relay
