@@ -169,24 +169,24 @@ def main() -> None:
     # (chunks, threads, gl_iter_impl, wire, gl_iters, gl_momentum)
     # candidates; each distinct chunk size / GL configuration costs one
     # extra vocoder compile, so later candidates are only tried inside the
-    # budget.  Fused-GL candidates go first: the single-kernel vocoder
-    # compiles locally in seconds (Mosaic) while the split XLA graph takes
-    # minutes through a degraded remote compile service — so even a
-    # budget-expired probe pass yields a near-optimal configuration.
-    # Fast-GL (momentum) candidates are quality-gated at flagship shapes
-    # (scripts/gl_momentum_gate.py, 2026-08-19): spectral convergence of
-    # GL-30 @ m=0.99 is 0.824x classic GL-60's error (GL-40 @ 0.99: 0.710x)
-    # — i.e. BETTER quality in half the iterations — and in-program cost
-    # 7.1 ms vs 13.8 ms at b=4 x 800.  Stream depth is a host-side knob
-    # (no compile), probed per candidate.
-    # Semi-fused candidates lead: the round-3 headline-shape A/B
-    # (scripts/profile_gl_semi.py, b=32 x 800, same window) measured semi
-    # beating split at GL-60 (125.8 vs 140.9 ms) AND at the gated fast
-    # config GL-30 @ m=0.99 (76.6 vs 80.1 ms).
+    # budget.  ONE fused-GL candidate goes first: the single-kernel vocoder
+    # compiles locally in seconds (Mosaic) while split/semi XLA graphs take
+    # minutes through a degraded remote compile service — so a budget-
+    # expired probe pass still yields a working measurement fast.  The
+    # expected winners come next: fast-GL (momentum) candidates are
+    # quality-gated at flagship shapes on three harnesses
+    # (scripts/gl_momentum_gate.py [spectral convergence 0.824x classic
+    # GL-60 + copy-synthesis 0.998x], scripts/gl_trained_ab.py
+    # [trained-checkpoint AR audio mel-L1 0.998x]) with in-program cost
+    # 7.1 vs 13.8 ms at b=4 x 800, and the semi-fused iteration beat split
+    # at headline shapes in the round-3 A/B (profile_gl_semi.py, b=32 x
+    # 800, same window: GL-60 125.8 vs 140.9 ms; GL-30 @ m=0.99 76.6 vs
+    # 80.1 ms).  Stream depth is a host-side knob (no compile), probed per
+    # candidate.
     queue = [
+        (8, 4, "fused", "pcm16", 60, 0.0),
         (8, 4, "semi", "pcm16", 30, 0.99),
         (8, 4, "semi", "mulaw8", 30, 0.99),
-        (8, 4, "fused", "pcm16", 60, 0.0),
         (8, 4, "semi", "pcm16", 60, 0.0),
         (8, 4, "split", "pcm16", 30, 0.99),
         (8, 4, "split", "mulaw8", 30, 0.99),

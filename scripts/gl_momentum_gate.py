@@ -195,8 +195,9 @@ def copy_synthesis(n_utts: int) -> None:
     utts = make_utterances(n_utts, ds)
     wavs = [pm.load_audio(u, base_cfg) for u in utts]
     # One fixed shape (static-shape contract): trim/zero-pad every
-    # utterance to T frames so each candidate is ONE compiled program.
-    frames = min(max(1 + len(y) // ds.hop_len for y in wavs), 400)
+    # utterance to at most the harness T (the same shape knob as the
+    # harmonic arm) so each candidate is ONE compiled program.
+    frames = min(max(1 + len(y) // ds.hop_len for y in wavs), T)
     length = (frames - 1) * ds.hop_len
     batch = np.zeros((n_utts, length), np.float32)
     for i, y in enumerate(wavs):

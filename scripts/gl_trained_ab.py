@@ -13,7 +13,8 @@ Because both candidates decode from the same checkpoint with the same
 RNG, the model error is common-mode: the per-candidate audio-domain
 mel-L1 difference isolates the vocoder.
 
-    python scripts/gl_trained_ab.py --workdir /tmp/runs/demo_r3 [--utts 32]
+    timeout 2400 python scripts/gl_trained_ab.py --workdir /tmp/runs/demo_r3 \
+        [--utts 32]
 
 Expects a workdir trained by scripts/train_demo.py (same config recipe).
 """
@@ -48,12 +49,13 @@ def main() -> int:
     import jax.numpy as jnp
     import numpy as np
 
+    from sstts.checkpoint import CheckpointManager
     from sstts.config import Config
     from sstts.data import pipeline as pm
     from sstts.data import text as text_mod
     from sstts.dsp.ops import wav_to_features
     from sstts.synthesize import Synthesizer
-    from sstts.train import load_corpus
+    from sstts.train import create_state, load_corpus
 
     cfg = Config()
     cfg = cfg.replace(
@@ -87,17 +89,31 @@ def main() -> int:
     )
     _, gt_mel = (np.asarray(a) for a in gt_feats(batch["samples"]))
 
-    # Re-analysis of generated audio happens per-utterance on host-fetched
-    # wavs; one jitted featurizer per padded length bucket.
-    analyze_cache = {}
+    # Re-analysis of generated audio: ONE static shape (the decoder's max
+    # emission length) so the whole A/B costs a single featurizer compile
+    # — per-wav trimmed lengths would compile one program per unique
+    # length (the repo's static-bucketed-shape convention, CLAUDE.md).
+    max_len = cfg.inference.max_decoder_steps * r * ds.hop_len
+    analyze = jax.jit(lambda y: wav_to_features(y, ds)[1])
 
-    def audio_mel(wav: np.ndarray) -> np.ndarray:
-        n = len(wav)
-        fn = analyze_cache.get(n)
-        if fn is None:
-            fn = jax.jit(lambda y: wav_to_features(y, ds)[1])
-            analyze_cache[n] = fn
-        return np.asarray(fn(wav.astype(np.float32)[None]))[0]
+    def audio_mels(wavs) -> np.ndarray:
+        padded = np.zeros((len(wavs), max_len), np.float32)
+        for i, w in enumerate(wavs):
+            n = min(len(w), max_len)
+            padded[i, :n] = np.asarray(w[:n], np.float32)
+        return np.asarray(analyze(padded))
+
+    # Restore the checkpoint ONCE: the candidates differ only in
+    # inference-section GL fields (fingerprint-neutral), so they share
+    # params/batch_stats and only the vocoder program differs.
+    ckpt = CheckpointManager(cfg, args.workdir)
+    try:
+        step, state = ckpt.restore_latest(jax.device_get(create_state(cfg)))
+    finally:
+        ckpt.close()
+    if step is None:
+        raise FileNotFoundError(f"no checkpoint under {args.workdir}")
+    print(f"restored step {step} from {args.workdir}", flush=True)
 
     texts = [u.text for u in utts]
     results = []
@@ -110,17 +126,22 @@ def main() -> int:
                 griffin_lim_iter_impl=impl,
             )
         )
-        synth = Synthesizer.from_checkpoint(c, args.workdir)
+        synth = Synthesizer(c, state.params, state.batch_stats)
         wavs, full = synth.synthesize_batch(
             texts, full_output=True, fetch=("wav", "n_frames", "n_samples")
         )
+        mels = audio_mels(wavs)
         l1s = []
         for i in range(len(utts)):
             gt_frames = int(batch["loss_frames"][i])
-            mel = audio_mel(wavs[i])
-            n = min(gt_frames, mel.shape[0])
+            gen_frames = min(
+                int(full["n_frames"][i]), mels.shape[1]
+            )
+            n = min(gt_frames, gen_frames)
             if n >= 8:
-                l1s.append(float(np.abs(mel[:n] - gt_mel[i, :n]).mean()))
+                l1s.append(
+                    float(np.abs(mels[i, :n] - gt_mel[i, :n]).mean())
+                )
         res = {
             "gl_iters": iters,
             "gl_momentum": m,

@@ -639,7 +639,9 @@ def test_decoder_scan_unroll_matches():
     batch = jax.tree.map(jnp.asarray, _one_batch(cfg))
     s0 = train_mod.create_state(cfg)
     _, m0 = train_mod.make_train_step(cfg)(s0, batch)
-    for u in (2, 3):
+    # The teacher scan runs 96/r = 48 steps here: u=2 divides it, u=5 does
+    # not (48 % 5 == 3), so the lax.scan remainder tail is exercised.
+    for u in (2, 5):
         ucfg = cfg.replace(
             arch=dataclasses.replace(cfg.arch, decoder_scan_unroll=u)
         )
