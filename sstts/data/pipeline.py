@@ -179,6 +179,23 @@ class Batcher:
             self._audio_cache[u.uid] = y
         return y
 
+    def batches_per_epoch(self, batch_size: int) -> int:
+        """Deterministic batch count of one epoch (shuffle-invariant).
+
+        Bucket assignment depends only on per-utterance text/frame lengths,
+        so the count is the same for every epoch seed; used by the trainer
+        to derive the epoch counter from a restored step (resume must
+        continue the data order, not replay epoch 0).  Loads each
+        utterance's audio once (cached for small corpora)."""
+        per_bucket: Dict[int, int] = {}
+        hop = self.cfg.dataset.hop_len
+        for u, ids in self.examples:
+            nf = 1 + len(self._audio(u)) // hop
+            bucket = assign_bucket(len(ids), nf, self.shapes)
+            if bucket >= 0:
+                per_bucket[bucket] = per_bucket.get(bucket, 0) + 1
+        return sum(-(-n // batch_size) for n in per_bucket.values())
+
     def epoch(self, seed: int, batch_size: int) -> Iterator[Tuple[int, Batch]]:
         """Yield (bucket_index, batch) pairs covering the corpus once."""
         rng = np.random.default_rng(seed)

@@ -148,13 +148,20 @@ class Synthesizer:
         import jax as _jax
 
         from sstts.checkpoint import CheckpointManager
-        from sstts.train import create_state
+        from sstts.train import _make_init_fn
 
+        # Abstract restore template (jax.eval_shape): serving startup must
+        # not pay the jitted-init compile nor fetch a full TrainState
+        # (params + 2x Adam moments) over the host link just to discard it
+        # — orbax StandardRestore accepts ShapeDtypeStruct leaves.
+        shard = _jax.sharding.SingleDeviceSharding(_jax.devices()[0])
+        template = _jax.tree.map(
+            lambda s: _jax.ShapeDtypeStruct(s.shape, s.dtype, sharding=shard),
+            _jax.eval_shape(_make_init_fn(cfg), _jax.random.PRNGKey(0)),
+        )
         ckpt = CheckpointManager(cfg, workdir)
         try:
-            step, state = ckpt.restore_latest(
-                _jax.device_get(create_state(cfg))
-            )
+            step, state = ckpt.restore_latest(template)
         finally:
             ckpt.close()
         if step is None:
@@ -354,12 +361,53 @@ class Synthesizer:
             n -= 1
         return n
 
-    def _put_ids(self, ids: np.ndarray) -> jnp.ndarray:
+    def _put_ids(self, ids: np.ndarray):
         if self.mesh is not None:
             from sstts.parallel.mesh import batch_sharding
 
             return jax.device_put(ids, batch_sharding(self.mesh))
-        return jnp.asarray(ids)
+        # Single-device path: hand the NUMPY array straight to the jitted
+        # call so the transfer folds into the async dispatch — an eager
+        # jnp.asarray here is a BLOCKING relay round-trip per batch on the
+        # serving hot path (CLAUDE.md transfer discipline).
+        return ids
+
+    def _encode_ids(
+        self, texts: Sequence[str], text_bucket: Optional[int]
+    ) -> np.ndarray:
+        """Texts -> one padded int32 id batch at a bucketed static width.
+
+        Shared by the pipelined and single-program paths so the bucket
+        rounding and padding can never diverge between them.  Over-length
+        text raises instead of silently compiling a program wider than
+        `dataset.max_text_len` (the model never saw such widths in
+        training, and an unplanned giant compile hurts on the shared
+        remote compile service) — use `synthesize_longform` for documents.
+        """
+        cfg = self.cfg
+        encoded = [
+            text_mod.encode(t, extra_chars=cfg.dataset.extra_chars)
+            for t in texts
+        ]
+        longest = max(len(e) for e in encoded)
+        if longest > cfg.dataset.max_text_len:
+            raise ValueError(
+                f"encoded text length {longest} exceeds dataset.max_text_len"
+                f"={cfg.dataset.max_text_len}; split the input "
+                "(synthesize_longform) or raise the limit"
+            )
+        if text_bucket is not None and longest > text_bucket:
+            raise ValueError(
+                f"explicit text_bucket={text_bucket} is smaller than the "
+                f"longest encoded text ({longest})"
+            )
+        bucket = text_bucket or min(
+            _round_up(longest, 32), cfg.dataset.max_text_len
+        )
+        ids = np.zeros((len(texts), bucket), np.int32)
+        for i, e in enumerate(encoded):
+            ids[i, : len(e)] = e
+        return ids
 
     def _dispatch(
         self,
@@ -376,15 +424,7 @@ class Synthesizer:
         """
         cfg = self.cfg
         max_steps = max_steps or cfg.inference.max_decoder_steps
-        encoded = [
-            text_mod.encode(t, extra_chars=cfg.dataset.extra_chars)
-            for t in texts
-        ]
-        longest = max(len(e) for e in encoded)
-        bucket = text_bucket or min(_round_up(longest, 32), cfg.dataset.max_text_len)
-        ids = np.zeros((len(texts), max(bucket, longest)), np.int32)
-        for i, e in enumerate(encoded):
-            ids[i, : len(e)] = e
+        ids = self._encode_ids(texts, text_bucket)
         self._rng, rng = jax.random.split(self._rng)
         if self.mesh is not None:
             # One partitioned program over the mesh; chunked fetch is a
@@ -461,7 +501,9 @@ class Synthesizer:
                     np.concatenate([f.result() for f in futs], 0), nfut.result()
                 )
         finally:
-            pool.shutdown(wait=False)
+            # cancel_futures: an abandoned generator must not keep pulling
+            # megabytes of queued PCM over the constrained host link.
+            pool.shutdown(wait=False, cancel_futures=True)
 
     def synthesize_batch(
         self,
@@ -493,15 +535,7 @@ class Synthesizer:
                 np.concatenate(host, axis=0), jax.device_get(n_samples)
             )
         max_steps = max_steps or cfg.inference.max_decoder_steps
-        encoded = [
-            text_mod.encode(t, extra_chars=cfg.dataset.extra_chars)
-            for t in texts
-        ]
-        longest = max(len(e) for e in encoded)
-        bucket = text_bucket or min(_round_up(longest, 32), cfg.dataset.max_text_len)
-        ids = np.zeros((len(texts), max(bucket, longest)), np.int32)
-        for i, e in enumerate(encoded):
-            ids[i, : len(e)] = e
+        ids = self._encode_ids(texts, text_bucket)
         self._rng, rng = jax.random.split(self._rng)
         if self.mesh is not None and not full_output:
             out = self._mesh_lite_program(
@@ -555,6 +589,12 @@ class Synthesizer:
         """
         from sstts.data.text import split_sentences
 
+        if kw.get("full_output"):
+            raise ValueError(
+                "full_output is not supported for synthesize_longform "
+                "(chunks are joined into one waveform; per-chunk tensors "
+                "have no document-level alignment)"
+            )
         ds = self.cfg.dataset
         if max_chars is None:
             max_chars = ds.max_text_len - 1  # room for EOS

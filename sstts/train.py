@@ -86,9 +86,9 @@ def _make_init_fn(cfg: Config, mesh: Optional[Mesh] = None):
     the sharding-tree derivation."""
     model = build_model(cfg, mesh)
     tx = make_optimizer(cfg)
-    r = cfg.arch.reduction_factor
-    lt = cfg.training.text_buckets[0]
-    fr = -(-cfg.training.frame_buckets[0] // r) * r
+    # The first bucket's shape, from the single source of the rounding rule
+    # (a local re-derivation could silently diverge from the real batches).
+    lt, fr = pipeline_mod.frame_bucket_shapes(cfg)[0]
 
     def init_fn(rng):
         ids = jnp.zeros((2, lt), jnp.int32)
@@ -571,6 +571,31 @@ def _clamp_grouped_ops(ops, budget: int):
         yield op
 
 
+def _skip_epoch_steps(ops, n_steps: int):
+    """Drop the first `n_steps` training steps of an epoch's op stream.
+
+    Used on resume to fast-forward the restored mid-epoch position so the
+    data order continues where the interrupted run stopped instead of
+    replaying the epoch from its start.  Checkpoints land on op boundaries
+    (the save cadence fires between ops), so `n_steps` normally aligns; if
+    a boundary mismatch ever occurs (e.g. a checkpoint written by an older
+    grouping config) the op straddling the boundary is skipped whole — a
+    few rows go unseen this epoch rather than double-trained."""
+    consumed = 0
+    for op in ops:
+        if consumed >= n_steps:
+            yield op
+            continue
+        ns = len(op[2]) if op[0] == "grouped" else 1
+        consumed += ns
+        if consumed > n_steps:
+            print(
+                f"[warn] resume skip crossed an op boundary (skipped "
+                f"{consumed} steps for a {n_steps}-step offset)",
+                flush=True,
+            )
+
+
 @lru_cache(maxsize=None)
 def make_eval_step(cfg: Config, mesh: Optional[Mesh] = None):
     """Teacher-forced eval (no grads, running BN stats, no dropout).
@@ -788,7 +813,26 @@ def _train_loop(
         train_step = make_train_step(cfg, mesh)
 
     step = int(jax.device_get(state.step))
+    # Resume must CONTINUE the data order, not replay epoch 0 (the epoch
+    # seeds are cfg.training.seed + epoch): derive the epoch counter and
+    # the mid-epoch offset from the restored step.  Batch counts per epoch
+    # are shuffle-invariant, so the division is exact.
     epoch = 0
+    skip_steps = 0
+    if step > 0:
+        if corpus is not None:
+            spe = sum(
+                -(-n // cfg.training.batch_size) for n in counts.values()
+            )
+        else:
+            spe = batcher.batches_per_epoch(cfg.training.batch_size)
+        if spe > 0:
+            epoch, skip_steps = divmod(step, spe)
+            if skip_steps:
+                print(
+                    f"resume: continuing data order at epoch {epoch} "
+                    f"(+{skip_steps} of {spe} steps)", flush=True,
+                )
     last_eval = step
     last_log_step = step
     t_last = time.time()
@@ -808,10 +852,16 @@ def _train_loop(
         epoch_batches = 0
         if corpus is not None:
             if S > 1:
+                # Skip BEFORE clamping: the skipped steps already ran in
+                # the interrupted run and must not count against the
+                # remaining budget.
                 ops = _clamp_grouped_ops(
-                    grouped_epoch_indices(
-                        counts, cfg.training.batch_size, S,
-                        cfg.training.seed + epoch,
+                    _skip_epoch_steps(
+                        grouped_epoch_indices(
+                            counts, cfg.training.batch_size, S,
+                            cfg.training.seed + epoch,
+                        ),
+                        skip_steps,
                     ),
                     max_steps - step,
                 )
@@ -823,16 +873,22 @@ def _train_loop(
                         cfg.training.seed + epoch,
                     )
                 )
+                ops = _skip_epoch_steps(ops, skip_steps)
         else:
+            ep = batcher.epoch(
+                cfg.training.seed + epoch, cfg.training.batch_size
+            )
+            if skip_steps:
+                # Drop already-consumed batches before the device prefetch
+                # so skipped batches never cross the host link.
+                import itertools
+
+                ep = itertools.islice(ep, skip_steps, None)
             ops = (
                 ("host", None, batch, None)
-                for _, batch in _prefetch_to_device(
-                    batcher.epoch(
-                        cfg.training.seed + epoch, cfg.training.batch_size
-                    ),
-                    data_shard,
-                )
+                for _, batch in _prefetch_to_device(ep, data_shard)
             )
+        skip_steps = 0
         for op in ops:
             epoch_batches += 1
             kind, bucket, a, b = op

@@ -51,6 +51,25 @@ def test_synthesize_batch_lengths_vary(synth):
     assert full["alignments"].shape[0] == 2
 
 
+def test_synthesize_overlength_text_raises(synth):
+    """Text longer than dataset.max_text_len must raise instead of
+    silently compiling an unbounded-width program the model never trained
+    on (review finding; synthesize_longform is the document path)."""
+    cfg, s = synth
+    too_long = "a" * (cfg.dataset.max_text_len * 3)
+    with pytest.raises(ValueError, match="max_text_len"):
+        s.synthesize_batch([too_long])
+    # An explicit bucket smaller than the longest text is an error too.
+    with pytest.raises(ValueError, match="text_bucket"):
+        s.synthesize_batch(["hello world"], text_bucket=4)
+
+
+def test_longform_rejects_full_output(synth):
+    cfg, s = synth
+    with pytest.raises(ValueError, match="full_output"):
+        s.synthesize_longform("one. two.", full_output=True)
+
+
 def test_synthesize_to_file(synth, tmp_path):
     cfg, s = synth
     p = s.to_file("test output", tmp_path / "out.wav")

@@ -293,6 +293,33 @@ def test_train_driver_end_to_end(tmp_path):
     assert int(jax.device_get(state2.step)) == 8
 
 
+def test_resume_reproduces_uninterrupted_run(tmp_path):
+    """Crash-resume must CONTINUE the data order, not replay epoch 0: a
+    3-step run + resume to 6 produces bitwise the same params as one
+    uninterrupted 6-step run (dropout rng is step-derived; the data order
+    is epoch+offset-derived from the restored step — review finding)."""
+    cfg = _cfg()
+    cfg = cfg.replace(
+        training=dataclasses.replace(
+            cfg.training, batch_size=2, checkpoint_every=3
+        )
+    )
+    s_once = train_mod.train(
+        cfg, workdir=tmp_path / "a", max_steps=6, log_every=100
+    )
+    train_mod.train(cfg, workdir=tmp_path / "b", max_steps=3, log_every=100)
+    s_resumed = train_mod.train(
+        cfg, workdir=tmp_path / "b", max_steps=6, log_every=100
+    )
+    jax.tree.map(
+        lambda x, y: np.testing.assert_array_equal(
+            np.asarray(jax.device_get(x)), np.asarray(jax.device_get(y))
+        ),
+        s_once.params,
+        s_resumed.params,
+    )
+
+
 def test_train_driver_tensor_parallel(tmp_path):
     """Full driver with training.model_parallel=2: the default mesh comes
     up as (data, model) = (2, 2) on 8 devices (data capped by batch), the
