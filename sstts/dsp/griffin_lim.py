@@ -98,17 +98,39 @@ def griffin_lim(
         raise ValueError(
             f"length={length} too short for {n_frames} frames at hop={hop_length}"
         )
+    # Validate the iteration knob HERE so the complex ("xla"/"default")
+    # path rejects typos and the fused+momentum incompatibility too — it
+    # ignores iter_impl otherwise, and a silent ignore hides config errors.
+    resolved_iter = iter_impl or GL_ITER_IMPL
+    if resolved_iter not in ("auto", "split", "split_xla", "fused", "semi"):
+        raise ValueError(
+            f"unknown griffin_lim iter_impl {resolved_iter!r}; expected one "
+            "of 'auto', 'split', 'split_xla', 'fused', 'semi'"
+        )
+    if momentum > 0.0 and resolved_iter == "fused":
+        raise ValueError(
+            "iter_impl='fused' does not support griffin_lim_momentum > 0 "
+            "(the fused kernel folds renorm into the iteration); use "
+            "'split', 'semi', or momentum=0"
+        )
+    _DFT_PRECISION = {
+        "dft_default": jax.lax.Precision.DEFAULT,
+        "dft_high": jax.lax.Precision.HIGH,
+        "dft_highest": jax.lax.Precision.HIGHEST,
+    }
     if fft_impl.startswith("dft"):
+        if fft_impl not in _DFT_PRECISION:
+            raise ValueError(
+                f"unknown griffin_lim fft_impl {fft_impl!r}; valid: "
+                "'default', 'xla', "
+                + ", ".join(repr(k) for k in _DFT_PRECISION)
+            )
         return _griffin_lim_real(
             magnitude, n_fft, hop_length, win_length, n_iters, length,
             momentum,
             loop_dtype=jnp.bfloat16 if fft_impl == "dft_default" else jnp.float32,
-            precision={
-                "dft_default": jax.lax.Precision.DEFAULT,
-                "dft_high": jax.lax.Precision.HIGH,
-                "dft_highest": jax.lax.Precision.HIGHEST,
-            }[fft_impl],
-            iter_impl=iter_impl or GL_ITER_IMPL,
+            precision=_DFT_PRECISION[fft_impl],
+            iter_impl=resolved_iter,
         )
 
     def project(angles):
@@ -150,7 +172,6 @@ def _griffin_lim_real(
 ) -> jnp.ndarray:
     """Real-arithmetic GL loop over direct-DFT GEMMs (see `griffin_lim`)."""
     from sstts.dsp import fft as mmfft
-    from sstts.dsp.reproject import reproject
     from sstts.dsp.stft import _window, _window_sum_sq, frame_signal, overlap_add  # noqa: F401
 
     n_frames = magnitude.shape[-2]
@@ -272,18 +293,9 @@ def _loop_banded(
     # (DC, Nyquist) pair by their JOINT magnitude for the loop's iterations
     # (2 of 1025 bins, both carrying negligible energy for pre-emphasized
     # speech); the final synthesis below unpacks and projects both exactly.
+    # (iter_impl strings and the fused+momentum incompatibility are
+    # validated by griffin_lim() for every fft_impl path.)
     iter_impl = iter_impl or GL_ITER_IMPL
-    if iter_impl not in ("auto", "split", "split_xla", "fused", "semi"):
-        raise ValueError(
-            f"unknown griffin_lim iter_impl {iter_impl!r}; expected one of "
-            "'auto', 'split', 'split_xla', 'fused', 'semi'"
-        )
-    if momentum > 0.0 and iter_impl == "fused":
-        raise ValueError(
-            "iter_impl='fused' does not support griffin_lim_momentum > 0 "
-            "(the fused kernel folds renorm into the iteration); use "
-            "'split', 'semi', or momentum=0"
-        )
     if iter_impl == "auto":
         # Measured disposition (round 3, scripts/profile_gl_semi.py, same
         # window): at headline shapes (b=32 x 800) semi beats split GL-60
@@ -292,7 +304,15 @@ def _loop_banded(
         iter_impl = "semi" if jax.default_backend() == "tpu" else "split"
     # "split_xla": mesh-safe split iteration, Pallas-free data path.
     reproject_impl = "xla" if iter_impl == "split_xla" else "auto"
-    packed = loop_dtype == jnp.bfloat16 and half % 2 == 1 and half > 2
+    # Nyquist packing requires an even n_fft: only then is the top bin a
+    # purely real Nyquist coefficient whose imaginary slot is free (for odd
+    # n_fft the top bin is genuinely complex — packing would corrupt it).
+    packed = (
+        loop_dtype == jnp.bfloat16
+        and n_fft % 2 == 0
+        and half % 2 == 1
+        and half > 2
+    )
     hb = half - 1 if packed else half
     # The fused/semi iteration kernels require the 128-lane-padded layout
     # even in interpret mode, and "split_xla" pads on CPU too so tests

@@ -40,7 +40,8 @@ def deemphasis(y: jnp.ndarray, coeff: float, block: int = 256) -> jnp.ndarray:
     50+ s of XLA compile at 220k samples.
     """
     if coeff == 0.0:
-        return y
+        # Keep the f32 output contract dtype-independent of the coefficient.
+        return y.astype(jnp.float32)
     n = y.shape[-1]
     n_blocks = -(-n // block)
     pad = n_blocks * block - n
@@ -150,12 +151,19 @@ def _stft_magnitude_dft(
     n_fft = cfg.n_fft
     pad = [(0, 0)] * (y.ndim - 1) + [(n_fft // 2, n_fft // 2)]
     y = jnp.pad(y, pad, mode="reflect")
-    frames = stft_mod.frame_signal(y, n_fft, cfg.hop_len)
+    n_frames = (y.shape[-1] - n_fft) // cfg.hop_len + 1
     window = stft_mod._window(n_fft, cfg.win_len)
     lo, w_len, cos_w, nsin_w, _, _ = mmfft._rdft_matrices_windowed(
         n_fft, window
     )
-    seg = frames[..., lo : lo + w_len]
+    # Frame the lo-shifted signal at the window support directly (the
+    # griffin_lim analyze() pattern): framing at n_fft and slicing to
+    # [lo : lo+w_len] would materialize an ~2x-wider frames array on the
+    # per-train-step hot path.  frame_signal fits more w_len-wide frames
+    # than n_fft-wide ones, so slice back to the STFT's frame count.
+    seg = stft_mod.frame_signal(y[..., lo:], w_len, cfg.hop_len)[
+        ..., :n_frames, :
+    ]
     mm = lambda a, b: jnp.matmul(  # noqa: E731
         a, b, precision=precision, preferred_element_type=jnp.float32
     )

@@ -61,8 +61,12 @@ class BahdanauAttention(nn.Module):
     ) -> jnp.ndarray:
         del prev_alignment  # content-based: history-free
         q = self.query_proj(query)[:, None, :]
-        s = jnp.tanh(keys + q + self.score_bias)
-        scores = jnp.einsum("bta,a->bt", s, self.v)
+        # Params stay f32 in the tree (checkpoint stability); cast at use so
+        # bf16 compute doesn't silently promote the (B, T, A) tanh chain and
+        # score einsum to f32 inside the scan (masked_softmax upcasts the
+        # (B, T) scores itself — that one is a numerics requirement).
+        s = jnp.tanh(keys + q + self.score_bias.astype(self.dtype))
+        scores = jnp.einsum("bta,a->bt", s, self.v.astype(self.dtype))
         return masked_softmax(scores, mask)
 
 
@@ -112,9 +116,13 @@ def attention_context(
     return jnp.einsum("bt,btd->bd", alignment, memory)
 
 
-def make_attention(kind: str, units: int, dtype=jnp.float32) -> nn.Module:
+def make_attention(
+    kind: str, units: int, dtype=jnp.float32, window: int = 16
+) -> nn.Module:
     if kind == "bahdanau":
         return BahdanauAttention(units, dtype=dtype, name="attention")
     if kind == "local_luong":
-        return LocalLuongAttention(units, dtype=dtype, name="attention")
+        return LocalLuongAttention(
+            units, window=window, dtype=dtype, name="attention"
+        )
     raise ValueError(f"unknown attention type: {kind}")

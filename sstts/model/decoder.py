@@ -59,7 +59,10 @@ class DecoderCell(nn.Module):
             a.prenet_units, a.prenet_dropout, a.prenet_dropout_at_inference,
             dtype=self.dtype, name="prenet",
         )
-        self.attention = make_attention(a.attention_type, a.attention_units, self.dtype)
+        self.attention = make_attention(
+            a.attention_type, a.attention_units, self.dtype,
+            window=a.local_attention_window,
+        )
         self.attn_gru = GRUCell(a.attention_gru_units, dtype=self.dtype)
         self.dec_proj = nn.Dense(a.decoder_gru_units, dtype=self.dtype)
         self.dec_grus = [
@@ -89,6 +92,35 @@ class DecoderCell(nn.Module):
             finished=jnp.zeros((batch,), bool),
         )
 
+    def _sequential_chain(
+        self,
+        carry: DecoderCarry,
+        prenet_out: jnp.ndarray,
+        memory: jnp.ndarray,
+        keys: jnp.ndarray,
+        memory_mask: Optional[jnp.ndarray],
+    ):
+        """The genuinely sequential per-step chain shared by `__call__` and
+        `teacher_step`: attention GRU -> attention -> residual GRU stack.
+        ONE definition so the two step entry points (and the Pallas
+        whole-scan kernel's parity test against them) can never diverge.
+        Returns (attn_h, alignment, context, new_dec_hs, x)."""
+        attn_in = jnp.concatenate([prenet_out, carry.context], axis=-1)
+        attn_h, _ = self.attn_gru(carry.attn_h, (attn_in, None))
+        alignment = self.attention(attn_h, keys, memory_mask, carry.alignment)
+        context = attention_context(alignment, memory)
+        # The softmax runs in f32 (bf16-safe); keep the carry dtype uniform.
+        alignment = alignment.astype(self.dtype)
+        context = context.astype(self.dtype)
+        attn_h = attn_h.astype(self.dtype)
+        x = self.dec_proj(jnp.concatenate([attn_h, context], axis=-1))
+        new_dec_hs = []
+        for gru, h in zip(self.dec_grus, carry.dec_hs):
+            h_new, out = gru(h, (x, None))
+            new_dec_hs.append(h_new)
+            x = x + out  # residual connection
+        return attn_h, alignment, context, tuple(new_dec_hs), x
+
     def teacher_step(
         self,
         carry: DecoderCarry,
@@ -103,24 +135,14 @@ class DecoderCell(nn.Module):
         runs BEFORE the scan as one batched (B, S, .) matmul pair and the
         frame/stop projections run AFTER it on the stacked features
         (SURVEY.md §7 "small sequential matmuls underutilize the MXU") —
-        this step keeps only the genuinely sequential chain: attention GRU
-        -> attention -> residual GRU stack.  Returns (new_carry,
-        (x, alignment)) where x is the feature the projections consume.
-        Same math as `__call__`'s teacher path, step for step.
+        this step keeps only the genuinely sequential chain.  Returns
+        (new_carry, (x, alignment)) where x is the feature the projections
+        consume.  Same math as `__call__`'s teacher path, step for step
+        (both call `_sequential_chain`).
         """
-        attn_in = jnp.concatenate([prenet_out, carry.context], axis=-1)
-        attn_h, _ = self.attn_gru(carry.attn_h, (attn_in, None))
-        alignment = self.attention(attn_h, keys, memory_mask, carry.alignment)
-        context = attention_context(alignment, memory)
-        alignment = alignment.astype(self.dtype)
-        context = context.astype(self.dtype)
-        attn_h = attn_h.astype(self.dtype)
-        x = self.dec_proj(jnp.concatenate([attn_h, context], axis=-1))
-        new_dec_hs = []
-        for gru, h in zip(self.dec_grus, carry.dec_hs):
-            h_new, out = gru(h, (x, None))
-            new_dec_hs.append(h_new)
-            x = x + out
+        attn_h, alignment, context, new_dec_hs, x = self._sequential_chain(
+            carry, prenet_out, memory, keys, memory_mask
+        )
         new_carry = DecoderCarry(
             attn_h=attn_h,
             dec_hs=tuple(new_dec_hs),
@@ -148,21 +170,9 @@ class DecoderCell(nn.Module):
         prev = carry.prev_frame if autoregressive else teacher_frame
 
         pre = self.prenet(prev, train=train)
-        attn_in = jnp.concatenate([pre, carry.context], axis=-1)
-        attn_h, _ = self.attn_gru(carry.attn_h, (attn_in, None))
-        alignment = self.attention(attn_h, keys, memory_mask, carry.alignment)
-        context = attention_context(alignment, memory)
-        # The softmax runs in f32 (bf16-safe); keep the carry dtype uniform.
-        alignment = alignment.astype(self.dtype)
-        context = context.astype(self.dtype)
-        attn_h = attn_h.astype(self.dtype)
-
-        x = self.dec_proj(jnp.concatenate([attn_h, context], axis=-1))
-        new_dec_hs = []
-        for gru, h in zip(self.dec_grus, carry.dec_hs):
-            h_new, out = gru(h, (x, None))
-            new_dec_hs.append(h_new)
-            x = x + out  # residual connection
+        attn_h, alignment, context, new_dec_hs, x = self._sequential_chain(
+            carry, pre, memory, keys, memory_mask
+        )
 
         mel = self.frame_proj(x).reshape(-1, a.reduction_factor, self.n_mels)
         stop_logits = self.stop_proj(x)
