@@ -183,12 +183,20 @@ def main() -> None:
     # 800, same window: GL-60 125.8 vs 140.9 ms; GL-30 @ m=0.99 76.6 vs
     # 80.1 ms).  Stream depth is a host-side knob (no compile), probed per
     # candidate.
+    # The round-3 floor decomposition (docs/performance.md "The steady-state
+    # floor") shows the winning config is WIRE-bound: the adpcm4 candidates
+    # (4-bit block-adaptive DPCM, 0.52 B/sample — quality-gated in
+    # scripts/wire_codec_gate.py + the gl_trained_ab --wire arm) halve the
+    # binding resource again, so they go right after the fused compile-
+    # safety candidate.
     queue = [
         (8, 4, "fused", "pcm16", 60, 0.0),
-        (8, 4, "semi", "pcm16", 30, 0.99),
+        (8, 4, "semi", "adpcm4", 30, 0.99),
         (8, 4, "semi", "mulaw8", 30, 0.99),
+        (8, 4, "semi", "pcm16", 30, 0.99),
+        (8, 4, "fused", "adpcm4", 60, 0.0),
         (8, 4, "semi", "pcm16", 60, 0.0),
-        (8, 4, "split", "pcm16", 30, 0.99),
+        (8, 4, "split", "adpcm4", 30, 0.99),
         (8, 4, "split", "mulaw8", 30, 0.99),
         (8, 4, "fused", "mulaw8", 60, 0.0),
         (8, 4, "split", "pcm16", 60, 0.0),
@@ -203,6 +211,7 @@ def main() -> None:
     state = create_state(cfg)
     t_start = time.perf_counter()
     best = None
+    best_gl60 = None  # best classic-GL-60 candidate (baseline-comparable)
     low_chunk_queued = False
     while queue:
         chunks, threads, gl_impl, wire, gl_iters, gl_m = queue.pop(0)
@@ -240,11 +249,20 @@ def main() -> None:
                         flush=True,
                     )
                     continue
+                cand = (
+                    probe, synth, depth, chunks, threads, gl_impl,
+                    wire, gl_iters, gl_m,
+                )
                 if best is None or probe < best[0]:
-                    best = (
-                        probe, synth, depth, chunks, threads, gl_impl,
-                        wire, gl_iters, gl_m,
-                    )
+                    best = cand
+                # Track the classic GL-60 winner separately so the JSON can
+                # always carry a number comparable to the pre-fast-GL
+                # baselines (round-3 advisor: the >=50x target is defined
+                # "including 60-iteration Griffin-Lim").
+                if gl_iters == 60 and gl_m == 0.0 and (
+                    best_gl60 is None or probe < best_gl60[0]
+                ):
+                    best_gl60 = cand
         except Exception as e:
             print(
                 f"[warn] candidate chunks={chunks} gl={gl_impl} failed: "
@@ -261,7 +279,8 @@ def main() -> None:
             # both the iterations and the per-batch dispatches but pays a
             # remote XLA compile, so it goes second.
             queue.insert(0, (2, 4, "fused", "pcm16", 60, 0.0))
-            queue.insert(1, (2, 4, "semi", "mulaw8", 30, 0.99))
+            queue.insert(1, (2, 4, "semi", "adpcm4", 30, 0.99))
+            queue.insert(2, (2, 4, "semi", "mulaw8", 30, 0.99))
             low_chunk_queued = True
         if time.perf_counter() - t_start > probe_budget_s and best is not None:
             break
@@ -277,38 +296,74 @@ def main() -> None:
     audio_per_wav = (frames - 1) * cfg.dataset.hop_len / cfg.dataset.sample_rate
     # Each repeat's RTF pairs ITS OWN wall with ITS OWN waveform count, so
     # a partial-output repeat cannot mix a short wall with full audio.
-    rtfs = []
-    for _ in range(repeats):
-        t0 = time.perf_counter()
-        n_out = 0
-        for out in synth.synthesize_stream([texts] * n_batches, depth=depth):
-            n_out += len(out)
-        wall = time.perf_counter() - t0
-        if n_out != n_expected:
-            print(
-                f"[warn] measurement repeat returned {n_out}/{n_expected} "
-                "waveforms; its RTF reflects actual output",
-                flush=True,
-            )
-        rtfs.append(n_out * audio_per_wav / wall)
-    rtf = float(np.median(rtfs))
-    print(
-        json.dumps(
-            {
-                "metric": "batched_synthesis_rtf_incl_griffin_lim",
-                "value": round(rtf, 2),
-                "unit": "x_realtime_per_chip_b32",
-                "vs_baseline": round(rtf / 50.0, 3),
-                "config": f"chunks={chunks},threads={threads},"
-                          f"depth={depth},gl={gl_impl}-{gl_iters}"
-                          f"@m{gl_m},wire={wire}",
-                # Relay window health at measurement time (see
-                # _dispatch_overhead_ms): ~<10 ms = healthy, ~30-45 ms =
-                # dispatch-degraded window (every per-call number inflated).
-                "dispatch_overhead_ms": round(marker_ms, 1),
-            }
+    def measure(synth_m, depth_m, n_reps):
+        rtfs = []
+        for _ in range(n_reps):
+            t0 = time.perf_counter()
+            n_out = 0
+            for out in synth_m.synthesize_stream(
+                [texts] * n_batches, depth=depth_m
+            ):
+                n_out += len(out)
+            wall = time.perf_counter() - t0
+            if n_out != n_expected:
+                print(
+                    f"[warn] measurement repeat returned {n_out}/"
+                    f"{n_expected} waveforms; its RTF reflects actual "
+                    "output",
+                    flush=True,
+                )
+            rtfs.append(n_out * audio_per_wav / wall)
+        return float(np.median(rtfs))
+
+    rtf = measure(synth, depth, repeats)
+    # Companion metric: the best CLASSIC GL-60 candidate, so the headline
+    # stays comparable with pre-fast-GL rounds even when a quality-gated
+    # fast-GL config wins the auto-tune (round-3 advisor finding).
+    rtf_gl60 = None
+    gl60_config = None
+    if best_gl60 is not None:
+        if best_gl60[1] is synth:
+            rtf_gl60 = rtf
+        else:
+            rtf_gl60 = measure(best_gl60[1], best_gl60[2], 1)
+        gl60_config = (
+            f"chunks={best_gl60[3]},threads={best_gl60[4]},"
+            f"depth={best_gl60[2]},gl={best_gl60[5]}-60@m0.0,"
+            f"wire={best_gl60[6]}"
         )
-    )
+    # Bracket the measurement with a SECOND window-health marker: the relay
+    # drifts on the probe phase's timescale, so start-only markers can
+    # mislabel the window the RTF was actually taken in (round-3 verdict
+    # Weak #2).
+    marker_end_ms = _dispatch_overhead_ms()
+    if max(marker_ms, marker_end_ms) > 1.5 * min(marker_ms, marker_end_ms):
+        print(
+            f"[warn] relay window drifted during the measurement: marker "
+            f"{marker_ms:.1f} -> {marker_end_ms:.1f} ms/call; interpret "
+            "the RTF as spanning both window states",
+            flush=True,
+        )
+    record = {
+        "metric": "batched_synthesis_rtf_incl_griffin_lim",
+        "value": round(rtf, 2),
+        "unit": "x_realtime_per_chip_b32",
+        "vs_baseline": round(rtf / 50.0, 3),
+        "config": f"chunks={chunks},threads={threads},"
+                  f"depth={depth},gl={gl_impl}-{gl_iters}"
+                  f"@m{gl_m},wire={wire}",
+        # Relay window health BRACKETING the measurement (see
+        # _dispatch_overhead_ms): ~<10 ms = healthy, ~30-45 ms =
+        # dispatch-degraded window (every per-call number inflated).
+        # dispatch_overhead_ms == the start marker (kept under its
+        # historical name so rounds stay comparable).
+        "dispatch_overhead_ms": round(marker_ms, 1),
+        "marker_end_ms": round(marker_end_ms, 1),
+    }
+    if rtf_gl60 is not None:
+        record["value_gl60_classic"] = round(rtf_gl60, 2)
+        record["config_gl60_classic"] = gl60_config
+    print(json.dumps(record))
 
 
 if __name__ == "__main__":

@@ -1,0 +1,146 @@
+"""Quality-gate the serving wire codecs (pcm16 / mulaw8 / adpcm4).
+
+Round-3 VERDICT #1: the headline steady state is bound by the host wire
+(~6.7 MiB mu-law per b=32 batch over a 40-50 MiB/s link), so a sub-8-bit
+codec is the remaining serving lever.  Every wire codec must be gated the
+way mu-law was before it can enter `bench.py`'s probe queue:
+
+1. SNR arm: real synthetic-corpus (speech-shaped) waveforms through the
+   device encode -> host decode round trip; report SNR per codec.
+2. Copy-synthesis mel-L1 arm: ground-truth linear features -> classic
+   GL-60 `spectrogram_to_wav` -> wire round trip -> re-analyze ->
+   mel-L1 vs the ground-truth mel, per codec.  Gate: a lossy codec's
+   mel-L1 <= 1.02x the PCM16 (lossless-wire) baseline — the wire error
+   must be invisible under the Griffin-Lim floor.
+
+The trained-checkpoint arm (AR synthesis from a real checkpoint, audio-
+domain mel-L1 per wire format) lives in `scripts/gl_trained_ab.py --wire`.
+
+Usage: timeout 1200 python scripts/wire_codec_gate.py [N] [T]
+(SSTTS_CPU=1 to force CPU — quality arms are timing-free.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+_ap = argparse.ArgumentParser()
+_ap.add_argument("N", nargs="?", type=int, default=8)
+_ap.add_argument("T", nargs="?", type=int, default=800)
+_args = _ap.parse_args()
+
+CODECS = ("pcm16", "mulaw8", "adpcm4")
+
+
+def _wire_roundtrip_host(codec: str, wav_dev, n: int):
+    """Device wire encode -> fetched bytes -> host decode, as serving does."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sstts.dsp import ops
+
+    if codec == "pcm16":
+        enc = jax.jit(
+            lambda y: jnp.round(jnp.clip(y, -1.0, 1.0) * 32767.0).astype(
+                jnp.int16
+            )
+        )
+        rows = np.asarray(enc(wav_dev))
+        return np.stack(
+            [rows[i, :n].astype(np.float32) / 32767.0 for i in range(rows.shape[0])]
+        ), rows[:, :n].nbytes
+    if codec == "mulaw8":
+        rows = np.asarray(jax.jit(ops.mulaw_encode_u8)(wav_dev))
+        return np.stack(
+            [ops.mulaw_decode_host(rows[i, :n]) for i in range(rows.shape[0])]
+        ), rows[:, :n].nbytes
+    if codec == "adpcm4":
+        rows = np.asarray(jax.jit(ops.adpcm4_encode_wire)(wav_dev))
+        return np.stack(
+            [ops.adpcm4_decode_host(rows[i], n) for i in range(rows.shape[0])]
+        ), rows.nbytes
+    raise ValueError(codec)
+
+
+def main() -> None:
+    if os.environ.get("SSTTS_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from sstts.config import Config
+    from sstts.data import pipeline as pm
+    from sstts.data.synthetic import make_utterances
+    from sstts.dsp.griffin_lim import spectrogram_to_wav
+    from sstts.dsp.ops import wav_to_features
+
+    n_utts, T = _args.N, _args.T
+    cfg = Config()
+    cfg = cfg.replace(
+        dataset=dataclasses.replace(cfg.dataset, dataset="synthetic")
+    )
+    ds = cfg.dataset
+    utts = make_utterances(n_utts, ds)
+    wavs = [pm.load_audio(u, cfg) for u in utts]
+    frames = min(max(1 + len(y) // ds.hop_len for y in wavs), T)
+    length = (frames - 1) * ds.hop_len
+    batch = np.zeros((n_utts, length), np.float32)
+    for i, y in enumerate(wavs):
+        n = min(len(y), length)
+        batch[i, :n] = np.asarray(y[:n], np.float32)
+    batch_dev = jnp.asarray(batch)
+
+    # --- arm 1: SNR on corpus waveforms ----------------------------------
+    print(f"SNR arm ({n_utts} synthetic utterances, {length} samples):")
+    for codec in CODECS:
+        dec, nbytes = _wire_roundtrip_host(codec, batch_dev, length)
+        err = dec - batch
+        snr = 10 * np.log10(
+            np.mean(batch**2) / max(np.mean(err**2), 1e-20)
+        )
+        print(
+            f"  {codec:7s}: SNR {snr:6.1f} dB, "
+            f"{nbytes / (n_utts * length):.3f} B/sample",
+            flush=True,
+        )
+
+    # --- arm 2: copy-synthesis mel-L1 through classic GL-60 --------------
+    gt_linear, gt_mel = (
+        np.asarray(a)
+        for a in jax.jit(lambda y: wav_to_features(y, ds))(batch)
+    )
+    gl_wav = np.asarray(
+        jax.jit(lambda lin: spectrogram_to_wav(lin, cfg, length))(gt_linear)
+    )
+    gl_dev = jnp.asarray(gl_wav)
+    featurize = jax.jit(lambda y: wav_to_features(y, ds)[1])
+    print("\ncopy-synthesis arm (GL-60 output through each wire codec):")
+    results = {}
+    for codec in CODECS:
+        dec, _ = _wire_roundtrip_host(codec, gl_dev, length)
+        mel = np.asarray(featurize(jnp.asarray(dec)))
+        results[codec] = float(np.abs(mel - gt_mel).mean())
+        print(f"  {codec:7s}: mel-L1 {results[codec]:.5f}", flush=True)
+    base = results["pcm16"]
+    print("gate (mel-L1 <= 1.02x PCM16 wire):")
+    for codec in CODECS:
+        if codec == "pcm16":
+            continue
+        ratio = results[codec] / base
+        verdict = "PASS" if ratio <= 1.02 else "fail"
+        print(f"  {codec:7s}: {ratio:.4f}x {verdict}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -76,6 +76,13 @@ class DatasetConfig:
     #: unchanged; a non-empty value grows the embedding table and therefore
     #: participates in the checkpoint fingerprint.
     extra_chars: Tuple[str, ...] = ()
+    #: Expand digits to English words during text normalization ("1876" →
+    #: "eighteen seventy six"; scope documented on `text.Charset.normalize`).
+    #: LJSpeech's normalized transcripts spell numbers out, so serving raw
+    #: digit ids would be out-of-distribution; default on keeps training and
+    #: serving tokenization consistent.  The charset itself is unchanged
+    #: (digits stay in the table), so this is fingerprint-neutral.
+    expand_numbers: bool = True
 
     def __post_init__(self) -> None:
         # Fail at construction with a clear message instead of deep inside
@@ -294,8 +301,12 @@ class InferenceConfig:
     #: "dft_high"/"dft_highest" (f32), or "xla" (jnp.fft).
     griffin_lim_fft_impl: Optional[str] = None
     #: Griffin-Lim iteration fusion override (None = library default,
-    #: `sstts.dsp.griffin_lim.GL_ITER_IMPL`): "split" or "fused" (one
-    #: Pallas kernel per iteration).
+    #: `sstts.dsp.griffin_lim.GL_ITER_IMPL` = "auto": the semi-fused
+    #: iteration on TPU — measured fastest at headline shapes,
+    #: docs/performance.md §9 — and split elsewhere): "auto" | "split"
+    #: (Pallas reprojection + XLA GEMMs) | "split_xla" (no Pallas) |
+    #: "semi" (reprojection + synthesis GEMM + renorm in one Pallas
+    #: kernel) | "fused" (whole iteration in one Pallas kernel).
     griffin_lim_iter_impl: Optional[str] = None
     #: Autoregressive decoder implementation (None = library default,
     #: `sstts.ops.pallas_decoder.DECODER_IMPL` = "auto": the fused Pallas
@@ -317,10 +328,13 @@ class InferenceConfig:
     #: Concurrent host-fetch threads when pipeline_chunks > 1.
     fetch_threads: int = 4
     #: Device->host wire codec for synthesized audio: "pcm16" (int16,
-    #: lossless w.r.t. the written WAV) or "mulaw8" (uint8 mu-law
+    #: lossless w.r.t. the written WAV), "mulaw8" (uint8 mu-law
     #: companding, half the bytes — for link-bound serving; ~38 dB SNR,
-    #: above the Griffin-Lim quality floor).  Never affects `full_output`
-    #: float32 audio.
+    #: above the Griffin-Lim quality floor), or "adpcm4" (4-bit
+    #: block-adaptive linear DPCM, ~0.52 B/sample — quarter of PCM16;
+    #: ~37 dB SNR on corpus speech and mel-L1-invisible under the
+    #: Griffin-Lim floor, `scripts/wire_codec_gate.py`).  Never affects
+    #: `full_output` float32 audio.
     wire_format: str = "pcm16"
     output_dir: str = "synthesized"
 
@@ -356,6 +370,7 @@ class Config:
                 "max_text_len",
                 "max_frames",
                 "resample_on_load",
+                "expand_numbers",
             }
         ),
         "arch": frozenset(

@@ -53,7 +53,7 @@ def load_blizzard_nancy(cfg: DatasetConfig) -> List[Utterance]:
     utts: List[Utterance] = []
     for match in _PROMPT_RE.finditer(prompts.read_text(encoding="utf-8")):
         uid, raw = match.group(1), match.group(2)
-        norm = text_mod.normalize(raw, cfg.extra_chars)
+        norm = text_mod.normalize(raw, cfg.extra_chars, cfg.expand_numbers)
         if not _keep(cfg, norm):
             continue
         utts.append(Utterance(uid, str(wav_dir / f"{uid}.wav"), norm))
@@ -79,7 +79,7 @@ def load_css10(cfg: DatasetConfig) -> List[Utterance]:
         rel = parts[0].strip()
         # Prefer the normalized-transcript column when present.
         raw = parts[2] if len(parts) > 2 and parts[2].strip() else parts[1]
-        norm = text_mod.normalize(raw, cfg.extra_chars)
+        norm = text_mod.normalize(raw, cfg.extra_chars, cfg.expand_numbers)
         if not _keep(cfg, norm):
             continue
         # uid keeps the directory part: CSS10 numbers files per book

@@ -126,6 +126,15 @@ class AudioCache:
         e = self._index[uid]
         return np.asarray(self._pcm[e["off"] : e["off"] + e["len"]])
 
+    def length(self, uid: str) -> int:
+        """Trimmed-waveform sample count, straight from the index (no I/O).
+
+        Lets the Batcher compute bucket assignments / epoch batch counts
+        without touching audio bytes — resume of a large cached corpus
+        would otherwise pay a full-corpus read just for the batch count.
+        """
+        return int(self._index[uid]["len"])
+
     # -- optional precomputed features ------------------------------------
 
     def _open_features(self, cfg: Config) -> None:

@@ -48,7 +48,7 @@ def load_metadata(cfg: DatasetConfig) -> List[Utterance]:
         parts = line.split("|")
         uid = parts[0].strip()
         raw = parts[2] if len(parts) > 2 and parts[2].strip() else parts[1]
-        norm = text_mod.normalize(raw, cfg.extra_chars)
+        norm = text_mod.normalize(raw, cfg.extra_chars, cfg.expand_numbers)
         if not norm or len(norm) + 1 > cfg.max_text_len:
             continue
         utts.append(Utterance(uid, str(root / "wavs" / f"{uid}.wav"), norm))

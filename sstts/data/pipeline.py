@@ -154,10 +154,15 @@ class Batcher:
         self.shapes = frame_bucket_shapes(cfg)
         self.examples: List[Tuple[Utterance, np.ndarray]] = []
         self._audio_cache: Dict[str, np.ndarray] = {}
+        self._len_cache: Dict[str, int] = {}  # uid -> trimmed sample count
         self._cache_all = len(utts) <= 4096  # small corpora stay resident
         skipped = 0
         for u in utts:
-            ids = text_mod.encode(u.text, extra_chars=cfg.dataset.extra_chars)
+            ids = text_mod.encode(
+                u.text,
+                extra_chars=cfg.dataset.extra_chars,
+                expand_numbers=cfg.dataset.expand_numbers,
+            )
             if len(ids) > cfg.dataset.max_text_len:
                 skipped += 1
                 continue
@@ -179,18 +184,36 @@ class Batcher:
             self._audio_cache[u.uid] = y
         return y
 
+    def _audio_len(self, u: Utterance) -> int:
+        """Trimmed sample count of one utterance, as cheaply as possible.
+
+        Order of preference: the per-uid memo (filled by epoch() as it loads
+        audio anyway), the consolidated cache's index (no I/O), and only then
+        a real audio load.  Keeps `batches_per_epoch` — called at every
+        startup/resume to derive the epoch counter — from decoding the whole
+        corpus just to count batches (round-3 advisor finding)."""
+        n = self._len_cache.get(u.uid)
+        if n is None:
+            if self.audio_cache is not None and u.uid in self.audio_cache:
+                n = self.audio_cache.length(u.uid)
+            else:
+                n = len(self._audio(u))
+            self._len_cache[u.uid] = n
+        return n
+
     def batches_per_epoch(self, batch_size: int) -> int:
         """Deterministic batch count of one epoch (shuffle-invariant).
 
         Bucket assignment depends only on per-utterance text/frame lengths,
         so the count is the same for every epoch seed; used by the trainer
         to derive the epoch counter from a restored step (resume must
-        continue the data order, not replay epoch 0).  Loads each
-        utterance's audio once (cached for small corpora)."""
+        continue the data order, not replay epoch 0).  Uses index/memoized
+        lengths where available; otherwise loads each utterance's audio
+        once (memoized, so repeat calls cost nothing)."""
         per_bucket: Dict[int, int] = {}
         hop = self.cfg.dataset.hop_len
         for u, ids in self.examples:
-            nf = 1 + len(self._audio(u)) // hop
+            nf = 1 + self._audio_len(u) // hop
             bucket = assign_bucket(len(ids), nf, self.shapes)
             if bucket >= 0:
                 per_bucket[bucket] = per_bucket.get(bucket, 0) + 1
@@ -205,6 +228,7 @@ class Batcher:
         for idx in order:
             u, ids = self.examples[idx]
             audio = self._audio(u)
+            self._len_cache[u.uid] = len(audio)
             nf = 1 + len(audio) // hop
             bucket = assign_bucket(len(ids), nf, self.shapes)
             if bucket < 0:

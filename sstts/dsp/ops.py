@@ -125,12 +125,161 @@ def mulaw_encode_u8(y: jnp.ndarray, mu: float = 255.0) -> jnp.ndarray:
     return jnp.round((c + 1.0) * 127.5).astype(jnp.uint8)
 
 
+_MULAW_LUT: dict = {}
+
+
 def mulaw_decode_host(u8: np.ndarray, mu: float = 255.0) -> np.ndarray:
-    """Host-side (numpy) inverse of `mulaw_encode_u8` -> float32 audio."""
-    c = np.asarray(u8, np.float32) / 127.5 - 1.0
-    return (
-        np.sign(c) * (np.expm1(np.abs(c) * np.log1p(mu)) / mu)
-    ).astype(np.float32)
+    """Host-side (numpy) inverse of `mulaw_encode_u8` -> float32 audio.
+
+    Decode runs in the serving stream's hot loop (`Synthesizer._trim`), so
+    it is one table gather per sample: there are only 256 codes, and the
+    256-entry LUT is bitwise-identical to evaluating the expm1 expression
+    per sample (measured ~10x cheaper at headline shapes on the 1-core
+    bench host, where the expression was a visible slice of the steady
+    state).
+    """
+    lut = _MULAW_LUT.get(mu)
+    if lut is None:
+        c = np.arange(256, dtype=np.float32) / 127.5 - 1.0
+        lut = (
+            np.sign(c) * (np.expm1(np.abs(c) * np.log1p(mu)) / mu)
+        ).astype(np.float32)
+        _MULAW_LUT[mu] = lut
+    return lut[np.asarray(u8, np.uint8)]
+
+
+# --- 4-bit ADPCM wire codec -------------------------------------------------
+#
+# Sub-8-bit candidate for the link-bound serving fetch (round-3 verdict ask
+# #1: the headline steady state is bound by the host wire, not GL compute).
+# Design constraints drove the shape of the codec:
+#   * ENCODE runs inside the jitted synthesis program -> it must be a
+#     fixed-shape, batched `lax.scan` (256 steps of elementwise VPU work over
+#     all blocks of all utterances at once), never a per-sample host loop.
+#   * DECODE runs on host per fetched chunk -> it must be vectorizable numpy.
+#     The trick: the quantizer feedback loop (which stops quantization error
+#     from accumulating) only needs to run at ENCODE time; the decoder's
+#     reconstruction  rec[t] = rec[t-1] + q[t]*scale  telescopes to
+#     seed + cumsum(q*scale), a plain `np.cumsum`.
+#   * Residuals are taken in the LINEAR domain with a per-block f16 scale =
+#     max|delta|/7 — level-invariant by construction (the f16 scale is
+#     itself floating).  SNR is content-dependent as for any DPCM:
+#     measured 42.6 dB on harmonic multitone, 37.1 dB on synthetic-corpus
+#     speech, ~30 dB when strong broadband noise sets the block max-deltas
+#     (all 2026-08-19).  The alternatives both lost the A/B: deltas in the
+#     continuous mu-law domain collapse to 17.5 dB on loud signals
+#     (mu-law's steep slope at zero makes zero-crossing deltas dominate
+#     the block max), and quantile-based scales lose ~16 dB to
+#     slope-overload catch-up.  Block adaptation at 11.6 ms already
+#     provides the companding mu-law would have.
+# Layout per utterance row (uint8):
+#   [ packed 4-bit codes : n_pad//2 ][ f16 scales : 2*nb ][ i16 seeds : 2*nb ]
+# with block = 256 samples, nb = ceil(n/256), n_pad = 256*nb.  Code slot 0 of
+# each block is a dummy (the seed carries sample 0), kept so 256 codes pack
+# into exactly 128 bytes.  Wire cost: 0.516 B/sample vs mu-law's 1.0 and
+# PCM16's 2.0.  Quality gate: scripts/wire_codec_gate.py (SNR arms) + the
+# trained-checkpoint audio-domain mel-L1 arm (scripts/gl_trained_ab.py
+# --wire).
+
+ADPCM_BLOCK = 256
+
+
+def adpcm4_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] audio (B, n) -> uint8 wire rows (B, 132 * ceil(n/256)).
+
+    Block-adaptive 4-bit feedback DPCM, linear domain (see the layout
+    comment above).  Inverse: `adpcm4_decode_host`.
+    """
+    block = ADPCM_BLOCK
+    bsz, n = y.shape
+    nb = -(-n // block)
+    y = jnp.pad(y, ((0, 0), (0, nb * block - n)), mode="edge")
+    u = jnp.clip(y, -1.0, 1.0)
+    blocks = u.reshape(bsz, nb, block)
+    # Seeds quantize to int16; the feedback loop tracks the DECODER's seed.
+    seeds_i16 = jnp.round(blocks[..., 0] * 32767.0).astype(jnp.int16)
+    seed_rec = seeds_i16.astype(jnp.float32) / 32767.0
+    # Per-block scale from the open-loop deltas (feedback deltas can exceed
+    # the open-loop max by one quantization error; the clip to [-8, 7] turns
+    # that into momentary slope overload, standard for ADPCM).  f16 on the
+    # wire; the encoder must use the f16-rounded value the decoder will see.
+    deltas = blocks[..., 1:] - blocks[..., :-1]
+    scale = jnp.max(jnp.abs(deltas), axis=-1) / 7.0
+    scale = jnp.maximum(scale, 1e-6).astype(jnp.float16)
+    scale_f = scale.astype(jnp.float32)
+
+    def step(rec, u_t):
+        q = jnp.clip(jnp.round((u_t - rec) / scale_f), -8.0, 7.0)
+        return rec + q * scale_f, q
+
+    # scan over the 255 in-block positions; every (batch, block) pair rides
+    # in the lanes.  xs: (block-1, B, nb).
+    xs = jnp.moveaxis(blocks[..., 1:], -1, 0)
+    _, qs = jax.lax.scan(step, seed_rec, xs)
+    codes = (jnp.moveaxis(qs, 0, -1) + 8.0).astype(jnp.uint8)  # (B, nb, 255)
+    codes = jnp.concatenate(
+        [jnp.full((bsz, nb, 1), 8, jnp.uint8), codes], axis=-1
+    )  # dummy slot 0 = "zero delta"
+    packed = codes[..., 0::2] | (codes[..., 1::2] << 4)  # (B, nb, 128)
+    scale_u8 = jax.lax.bitcast_convert_type(scale, jnp.uint8)  # (B, nb, 2)
+    seed_u8 = jax.lax.bitcast_convert_type(seeds_i16, jnp.uint8)  # (B, nb, 2)
+    return jnp.concatenate(
+        [
+            packed.reshape(bsz, nb * (block // 2)),
+            scale_u8.reshape(bsz, nb * 2),
+            seed_u8.reshape(bsz, nb * 2),
+        ],
+        axis=1,
+    )
+
+
+def adpcm4_decode_host_rows(rows: np.ndarray) -> np.ndarray:
+    """Host-side (numpy, vectorized) inverse of `adpcm4_encode_wire`.
+
+    `rows` is a (B, W) uint8 wire matrix; returns (B, n_pad) float32 audio
+    (callers slice each row to its true length).  The encoder's feedback
+    recursion telescopes to a cumulative sum, so decode is O(n) numpy with
+    no Python-level loop — the whole batch decodes in one pass (decode
+    runs in the serving stream's hot loop, `Synthesizer._trim`).
+    """
+    block = ADPCM_BLOCK
+    rows = np.ascontiguousarray(np.atleast_2d(np.asarray(rows, np.uint8)))
+    bsz = rows.shape[0]
+    nb = rows.shape[1] // (block // 2 + 4)
+    packed = rows[:, : nb * (block // 2)].reshape(bsz, nb, block // 2)
+    scales = (
+        rows[:, nb * (block // 2) : nb * (block // 2) + 2 * nb]
+        .reshape(-1)
+        .view(np.float16)
+        .astype(np.float32)
+        .reshape(bsz, nb, 1)
+    )
+    seeds = (
+        rows[:, nb * (block // 2) + 2 * nb :]
+        .reshape(-1)
+        .view(np.int16)
+        .astype(np.float32)
+        .reshape(bsz, nb, 1)
+        / 32767.0
+    )
+    codes = np.empty((bsz, nb, block), np.float32)
+    codes[..., 0::2] = packed & 15
+    codes[..., 1::2] = packed >> 4
+    q = codes - 8.0
+    q[..., 0] = 0.0  # dummy slot; sample 0 is the seed itself
+    y = seeds + np.cumsum(q * scales, axis=-1)
+    return y.reshape(bsz, nb * block).astype(np.float32)
+
+
+def adpcm4_decode_host(row: np.ndarray, n_samples: int) -> np.ndarray:
+    """Single-utterance convenience wrapper of `adpcm4_decode_host_rows`."""
+    return adpcm4_decode_host_rows(row[None])[0, :n_samples]
+
+
+def adpcm4_wire_bytes(n_samples: int) -> int:
+    """Wire row width (bytes) produced by `adpcm4_encode_wire` for n samples."""
+    nb = -(-n_samples // ADPCM_BLOCK)
+    return nb * (ADPCM_BLOCK // 2 + 4)
 
 
 def _stft_magnitude_dft(

@@ -74,7 +74,11 @@ def resynthesis_metrics(
     r = cfg.arch.reduction_factor
     items = [
         (
-            text_mod.encode(u.text, extra_chars=cfg.dataset.extra_chars),
+            text_mod.encode(
+                u.text,
+                extra_chars=cfg.dataset.extra_chars,
+                expand_numbers=cfg.dataset.expand_numbers,
+            ),
             pm.load_audio(u, cfg),
         )
         for u in utts

@@ -61,10 +61,10 @@ class Synthesizer:
         independent across shards)."""
         if partition not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown partition mode: {partition!r}")
-        if cfg.inference.wire_format not in ("pcm16", "mulaw8"):
+        if cfg.inference.wire_format not in ("pcm16", "mulaw8", "adpcm4"):
             raise ValueError(
                 f"unknown wire_format {cfg.inference.wire_format!r}; "
-                "expected 'pcm16' or 'mulaw8'"
+                "expected 'pcm16', 'mulaw8' or 'adpcm4'"
             )
         # One flag governs every Pallas path: GSPMD partitions a global
         # program from sharding annotations but cannot shard an opaque
@@ -331,6 +331,12 @@ class Synthesizer:
             from sstts.dsp.ops import mulaw_encode_u8
 
             wire = mulaw_encode_u8(wav)
+        elif cfg.inference.wire_format == "adpcm4":
+            from sstts.dsp.ops import adpcm4_encode_wire
+
+            # ~0.52 B/sample: 4-bit block-adaptive DPCM in the mu-law
+            # domain (device-side lax.scan encode; host cumsum decode).
+            wire = adpcm4_encode_wire(wav)
         else:
             wire = jnp.round(
                 jnp.clip(wav, -1.0, 1.0) * 32767.0
@@ -386,7 +392,11 @@ class Synthesizer:
         """
         cfg = self.cfg
         encoded = [
-            text_mod.encode(t, extra_chars=cfg.dataset.extra_chars)
+            text_mod.encode(
+                t,
+                extra_chars=cfg.dataset.extra_chars,
+                expand_numbers=cfg.dataset.expand_numbers,
+            )
             for t in texts
         ]
         longest = max(len(e) for e in encoded)
@@ -445,12 +455,22 @@ class Synthesizer:
         return outs, prep["n_samples"]
 
     def _trim(self, wire: np.ndarray, n_samples: np.ndarray) -> List[np.ndarray]:
+        # Runs in the stream hot loop on the host: every decode below is a
+        # single vectorized pass over the whole batch (mu-law via a 256-LUT
+        # gather, adpcm4 via one batched cumsum), then per-row slicing.
         if self.cfg.inference.wire_format == "mulaw8":
             from sstts.dsp.ops import mulaw_decode_host
 
+            dec = mulaw_decode_host(wire)
             return [
-                mulaw_decode_host(wire[i, : int(n_samples[i])])
-                for i in range(wire.shape[0])
+                dec[i, : int(n_samples[i])] for i in range(wire.shape[0])
+            ]
+        if self.cfg.inference.wire_format == "adpcm4":
+            from sstts.dsp.ops import adpcm4_decode_host_rows
+
+            dec = adpcm4_decode_host_rows(wire)
+            return [
+                dec[i, : int(n_samples[i])] for i in range(wire.shape[0])
             ]
         return [
             wire[i, : int(n_samples[i])].astype(np.float32) / 32767.0
@@ -598,7 +618,9 @@ class Synthesizer:
         ds = self.cfg.dataset
         if max_chars is None:
             max_chars = ds.max_text_len - 1  # room for EOS
-        chunks = split_sentences(text, max_chars, ds.extra_chars)
+        chunks = split_sentences(
+            text, max_chars, ds.extra_chars, ds.expand_numbers
+        )
         if not chunks:
             return np.zeros(0, np.float32)
         # Bucket the batch dimension (next power of two; under a mesh,
