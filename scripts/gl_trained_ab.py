@@ -14,7 +14,13 @@ RNG, the model error is common-mode: the per-candidate audio-domain
 mel-L1 difference isolates the vocoder.
 
     timeout 2400 python scripts/gl_trained_ab.py --workdir /tmp/runs/demo_r3 \
-        [--utts 32]
+        [--utts 32] [--wire]
+
+`--wire` A/Bs the WIRE CODECS (pcm16 / mulaw8 / adpcm4) instead of the GL
+configs: same checkpoint, same seed (identical decode + Griffin-Lim), so
+the per-candidate audio-domain mel-L1 difference isolates the wire
+round-trip — the trained-checkpoint arm of the wire-codec gate
+(scripts/wire_codec_gate.py has the ground-truth arms).
 
 Expects a workdir trained by scripts/train_demo.py (same config recipe).
 """
@@ -43,6 +49,8 @@ def main() -> int:
     ap.add_argument("--utts", type=int, default=32)
     ap.add_argument("--utterances", type=int, default=3072,
                     help="corpus size the checkpoint was trained with")
+    ap.add_argument("--wire", action="store_true",
+                    help="A/B wire codecs instead of GL configs")
     args = ap.parse_args()
 
     import jax
@@ -116,6 +124,53 @@ def main() -> int:
     print(f"restored step {step} from {args.workdir}", flush=True)
 
     texts = [u.text for u in utts]
+
+    if args.wire:
+        # Same checkpoint + same per-candidate seed -> identical decode and
+        # Griffin-Lim; only the wire round-trip differs.  n_frames for the
+        # loss masking comes from one full-output call (same seed, so the
+        # same decode the wire candidates produce).
+        ref = Synthesizer(cfg, state.params, state.batch_stats, seed=11)
+        _, full = ref.synthesize_batch(
+            texts, full_output=True, fetch=("wav", "n_frames", "n_samples")
+        )
+        results = []
+        for wf in ("pcm16", "mulaw8", "adpcm4"):
+            c = cfg.replace(
+                inference=dataclasses.replace(cfg.inference, wire_format=wf)
+            )
+            synth = Synthesizer(c, state.params, state.batch_stats, seed=11)
+            wavs = synth.synthesize_batch(texts)
+            mels = audio_mels(wavs)
+            l1s = []
+            for i in range(len(utts)):
+                n = min(
+                    int(batch["loss_frames"][i]),
+                    int(full["n_frames"][i]),
+                    mels.shape[1],
+                )
+                if n >= 8:
+                    l1s.append(
+                        float(np.abs(mels[i, :n] - gt_mel[i, :n]).mean())
+                    )
+            res = {
+                "wire_format": wf,
+                "audio_mel_l1_vs_gt": round(float(np.mean(l1s)), 5),
+                "utterances": len(l1s),
+            }
+            results.append(res)
+            print(json.dumps(res), flush=True)
+        base = results[0]["audio_mel_l1_vs_gt"]
+        for res in results[1:]:
+            ratio = res["audio_mel_l1_vs_gt"] / base
+            verdict = "PASS" if ratio <= 1.05 else "fail"
+            print(
+                f"wire={res['wire_format']}: {res['audio_mel_l1_vs_gt']:.5f} "
+                f"vs pcm16 {base:.5f} ({ratio:.3f}x) {verdict}",
+                flush=True,
+            )
+        return 0
+
     results = []
     for iters, m, impl in CANDIDATES:
         c = cfg.replace(

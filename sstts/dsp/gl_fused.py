@@ -54,6 +54,14 @@ from sstts.dsp.reproject import _pick_block as _pick_block_capped
 #: (m-utilization beats the 12% row padding), and 128 still fits VMEM.
 BT_MAX = 128
 
+#: Trace-time ablation hook for `fused_reproject_analyze` — MEASUREMENT
+#: ONLY (scripts/profile_gl_ablate.py; round-3 verdict #5: attribute the
+#: semi kernel's distance to its pure-GEMM floor).  None = full kernel;
+#: "no_shift" skips the banded shift-add VPU loop; "no_renorm" skips the
+#: phase-renorm/rescale epilogue.  Both break numerics; never set outside
+#: the profiling harness.
+_ABLATE: str | None = None
+
 
 def _pick_block(n_frames: int, bt_max: int | None = None) -> int:
     """Multiple-of-8 frame-block size <= bt_max minimizing row padding
@@ -319,13 +327,14 @@ def fused_reproject_analyze(
         f = fscr[:]
         lane = jax.lax.broadcasted_iota(jnp.int32, (bt, wp), 1)
         acc = f[off : off + bt, :]
-        for d in range(-d_max, d_max + 1):
-            if d == 0:
-                continue
-            rows = f[off - d : off - d + bt, :]
-            rows = pltpu.roll(rows, shift=(-d * hop) % wp, axis=1)
-            valid = (lane >= -d * hop) & (lane < w_len - d * hop)
-            acc = acc + jnp.where(valid, rows, 0.0)
+        if _ABLATE != "no_shift":
+            for d in range(-d_max, d_max + 1):
+                if d == 0:
+                    continue
+                rows = f[off - d : off - d + bt, :]
+                rows = pltpu.roll(rows, shift=(-d * hop) % wp, axis=1)
+                valid = (lane >= -d * hop) & (lane < w_len - d * hop)
+                acc = acc + jnp.where(valid, rows, 0.0)
         fr = acc * wss_ref[:]
         return jnp.dot(
             fr.astype(dtype), wfwd_ref[:], precision=precision,
@@ -333,6 +342,8 @@ def fused_reproject_analyze(
         )
 
     def renorm_block(s32, mblk):
+        if _ABLATE == "no_renorm":
+            return s32
         sr = s32[:, :hp]
         si = s32[:, hp:]
         inv = jax.lax.rsqrt(sr * sr + si * si + 1e-24)
