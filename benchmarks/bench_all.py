@@ -309,19 +309,25 @@ def main() -> None:
     # outage; reuse bench.py's bounded probe/recovery window (configs 1
     # and 5 run in CPU subprocesses and don't need the relay).
     results = []
-    if any(k.strip() not in ("1", "5") for k in args.configs.split(",")):
+    uses_tpu = any(k.strip() not in ("1", "5") for k in args.configs.split(","))
+    marker_row = None
+    if uses_tpu:
         from bench import _dispatch_overhead_ms, _require_backend
 
         _require_backend()
         # Window-health marker (CLAUDE.md; bench._dispatch_overhead_ms):
         # recorded alongside the numbers so every sweep self-describes the
-        # relay window it was measured in.
+        # relay window it was measured in.  A sweep spans many minutes, so
+        # a SECOND marker is taken at the end — the pair brackets the
+        # window and makes drift visible in the artifact (round-3 verdict
+        # Weak #2).
         marker_ms = _dispatch_overhead_ms()
         print(
             f"bench_all: dispatch-overhead marker {marker_ms:.1f} ms/call",
             flush=True,
         )
-        results.append({"dispatch_overhead_ms": round(marker_ms, 1)})
+        marker_row = {"dispatch_overhead_ms": round(marker_ms, 1)}
+        results.append(marker_row)
     for key in args.configs.split(","):
         key = key.strip()
         print(f"=== config {key} ===", flush=True)
@@ -331,6 +337,21 @@ def main() -> None:
             res = {"config": key, "error": f"{type(e).__name__}: {e}"}
         print(json.dumps(res), flush=True)
         results.append(res)
+    if uses_tpu:
+        from bench import _dispatch_overhead_ms
+
+        end_ms = _dispatch_overhead_ms()
+        marker_row["marker_end_ms"] = round(end_ms, 1)
+        print(
+            f"bench_all: closing marker {end_ms:.1f} ms/call"
+            + (
+                " [window DRIFTED during the sweep]"
+                if max(end_ms, marker_row["dispatch_overhead_ms"])
+                > 1.5 * min(end_ms, marker_row["dispatch_overhead_ms"])
+                else ""
+            ),
+            flush=True,
+        )
     if args.out:
         Path(args.out).write_text(json.dumps(results, indent=2))
 

@@ -39,6 +39,10 @@ def main() -> int:
                     choices=("pcm16", "features", "features_bf16"))
     ap.add_argument("--utterances", type=int, default=3072)
     ap.add_argument("--resynth-utts", type=int, default=32)
+    ap.add_argument("--reduction-factor", type=int, default=5,
+                    help="frames per decoder step; SURVEY §2.4 pins "
+                    "r in {2, 5} — 2 is the reference's other canonical "
+                    "value (round-4 r=2 alignment probe)")
     args = ap.parse_args()
 
     from sstts.config import Config
@@ -50,7 +54,11 @@ def main() -> int:
         dataset=dataclasses.replace(
             cfg.dataset, dataset="synthetic", synthetic_size=args.utterances
         ),
-        arch=dataclasses.replace(cfg.arch, guided_attention_weight=1.0),
+        arch=dataclasses.replace(
+            cfg.arch,
+            guided_attention_weight=1.0,
+            reduction_factor=args.reduction_factor,
+        ),
         training=dataclasses.replace(
             cfg.training,
             steps_per_call=args.steps_per_call,

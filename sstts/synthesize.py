@@ -454,28 +454,34 @@ class Synthesizer:
         ]
         return outs, prep["n_samples"]
 
-    def _trim(self, wire: np.ndarray, n_samples: np.ndarray) -> List[np.ndarray]:
-        # Runs in the stream hot loop on the host: every decode below is a
-        # single vectorized pass over the whole batch (mu-law via a 256-LUT
-        # gather, adpcm4 via one batched cumsum), then per-row slicing.
+    def _decode_wire(self, wire: np.ndarray) -> np.ndarray:
+        """Full-width wire rows -> float32 audio rows (one vectorized pass:
+        mu-law via a 256-LUT gather, adpcm4 via one batched cumsum).  Kept
+        separate from the per-row slicing so the stream path can run it in
+        the fetch thread pool — on multi-core serving hosts the decode then
+        overlaps the next batch's compute instead of serializing at yield
+        time."""
         if self.cfg.inference.wire_format == "mulaw8":
             from sstts.dsp.ops import mulaw_decode_host
 
-            dec = mulaw_decode_host(wire)
-            return [
-                dec[i, : int(n_samples[i])] for i in range(wire.shape[0])
-            ]
+            return mulaw_decode_host(wire)
         if self.cfg.inference.wire_format == "adpcm4":
             from sstts.dsp.ops import adpcm4_decode_host_rows
 
-            dec = adpcm4_decode_host_rows(wire)
-            return [
-                dec[i, : int(n_samples[i])] for i in range(wire.shape[0])
-            ]
-        return [
-            wire[i, : int(n_samples[i])].astype(np.float32) / 32767.0
-            for i in range(wire.shape[0])
-        ]
+            return adpcm4_decode_host_rows(wire)
+        return wire.astype(np.float32) * (1.0 / 32767.0)
+
+    def _fetch_decoded(self, out) -> np.ndarray:
+        """Device wire chunk -> decoded float32 rows (runs in fetch threads;
+        numpy decode releases the GIL)."""
+        return self._decode_wire(jax.device_get(out))
+
+    @staticmethod
+    def _slice_rows(dec: np.ndarray, n_samples: np.ndarray) -> List[np.ndarray]:
+        return [dec[i, : int(n_samples[i])] for i in range(dec.shape[0])]
+
+    def _trim(self, wire: np.ndarray, n_samples: np.ndarray) -> List[np.ndarray]:
+        return self._slice_rows(self._decode_wire(wire), n_samples)
 
     def synthesize_stream(
         self,
@@ -505,19 +511,22 @@ class Synthesizer:
                 outs, n_samples = self._dispatch(texts, max_steps, text_bucket)
                 pending.append(
                     (
-                        [pool.submit(jax.device_get, o) for o in outs],
+                        # fetch + wire-decode together in the pool: decode is
+                        # pure numpy (GIL-released) and overlaps later
+                        # batches' compute on multi-core hosts.
+                        [pool.submit(self._fetch_decoded, o) for o in outs],
                         pool.submit(jax.device_get, n_samples),
                     )
                 )
                 if len(pending) > depth:
                     futs, nfut = pending.popleft()
-                    yield self._trim(
+                    yield self._slice_rows(
                         np.concatenate([f.result() for f in futs], 0),
                         nfut.result(),
                     )
             while pending:
                 futs, nfut = pending.popleft()
-                yield self._trim(
+                yield self._slice_rows(
                     np.concatenate([f.result() for f in futs], 0), nfut.result()
                 )
         finally:
@@ -550,8 +559,8 @@ class Synthesizer:
 
             outs, n_samples = self._dispatch(texts, max_steps, text_bucket)
             with ThreadPoolExecutor(cfg.inference.fetch_threads) as ex:
-                host = list(ex.map(jax.device_get, outs))
-            return self._trim(
+                host = list(ex.map(self._fetch_decoded, outs))
+            return self._slice_rows(
                 np.concatenate(host, axis=0), jax.device_get(n_samples)
             )
         max_steps = max_steps or cfg.inference.max_decoder_steps
