@@ -51,7 +51,7 @@ def main() -> None:
     def chain_matmul(x):
         acc = jnp.float32(0.0)
         for _ in range(K):
-            s = mfft.rfft(x, axis=-1)
+            s = mfft.rfft(x, N)
             r = jnp.sum(jnp.abs(s.real) + jnp.abs(s.imag))
             acc = acc + r
             x = x * (1.0 + r * 1e-20)

@@ -1,9 +1,24 @@
 """MXU matmul FFT: real FFT/iFFT as four-step Cooley-Tukey DFT matmuls.
 
-XLA's TPU FFT lowering runs the Griffin-Lim loop at ~15 ms per batched
-rFFT-2048 pass; the TPU has no FFT unit, but it has a 128x128 systolic array.
-This module reformulates the transform as dense matmuls so it runs at MXU
-speed (~0.5 ms/pass, ~25x faster end-to-end GL):
+The TPU has no FFT unit, but it has a 128x128 systolic array.  This module
+carries two matmul formulations of the transform, measured head-to-head at
+the headline GL shape (25600, 2048) rows x n_fft, chained in-program,
+2026-08-20 (`scripts/profile_fft_recon.py`):
+
+* XLA's native TPU FFT lowering (`jnp.fft.rfft`): **7.92 ms/pass** — the
+  baseline both alternatives are judged against.
+* The four-step Cooley-Tukey rfft/irfft below: **24.5 ms/pass** — the
+  factored form's FLOP savings drown in 128x128 tile padding of the ~32x32
+  stage matmuls, so it LOSES to XLA's FFT at production shapes.  It stays
+  as a golden-tested (~1e-6 vs `jnp.fft`) experimentation path only
+  (`sstts.dsp.stft.USE_MATMUL_FFT`, default False).
+* The window-support-reduced direct rDFT GEMM pair
+  (`_rdft_matrices_windowed`, bf16): **0.63 ms/pass** — the form the
+  Griffin-Lim loop actually runs.  The direct DFT keeps the full-width
+  GEMM the MXU wants, the Hann window's 46% zero taps fold into the
+  matrices, and bf16 halves the bytes; 12.6x faster than XLA's FFT.
+
+Four-step construction (kept for reference / odd shapes):
 
 * rFFT(N) of a real signal packs even/odd samples into a complex signal of
   length N' = N/2 and runs one complex FFT of size N' plus O(N) unpacking,
