@@ -63,6 +63,22 @@ CANDIDATES = [
     (30, 0.99),
     (30, 0.9),
     (25, 0.99),
+    # Round-4 lower-iteration candidates: with the adpcm4 wire at
+    # 0.52 B/sample the steady state is compute-bound again (GL-30 semi
+    # ~80 ms vs wire 69-86 ms — docs/performance.md "steady-state floor"),
+    # so a quality-PASSing GL-20 would put the wire back in charge.
+    # Measured 2026-08-20 (B=4 x T=800 + 8-utterance copy-synthesis):
+    #   GL-25 @ m=0.99: spectral 0.915x, copy-syn 0.997x  -> PASS both
+    #   GL-20 @ m=0.99: spectral 1.046x, copy-syn 1.001x  -> PASS both
+    #   GL-20 @ m=0.995: spectral 1.053x (> 1.05 bar)     -> FAIL
+    #   GL-15 @ m=0.995: spectral 1.262x                  -> FAIL
+    # The third (trained-checkpoint AR audio) arm runs via gl_trained_ab.py
+    # (GL-25/GL-20 added to its CANDIDATES) once the round-4 flagship
+    # checkpoint exists; they enter bench.py's probe queue only if that
+    # arm also passes.
+    (20, 0.99),
+    (20, 0.995),
+    (15, 0.995),
 ]
 
 

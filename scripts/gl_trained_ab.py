@@ -40,6 +40,12 @@ CANDIDATES = [
     (60, 0.0, "auto"),
     (30, 0.99, "auto"),
     (40, 0.99, "auto"),
+    # Round-4 lower-iteration candidates — PASSed the two static arms
+    # (gl_momentum_gate.py 2026-08-20: GL-25 spectral 0.915x / copy-syn
+    # 0.997x, GL-20 spectral 1.046x / copy-syn 1.001x); this trained-
+    # checkpoint arm is the remaining gate before bench.py admission.
+    (25, 0.99, "auto"),
+    (20, 0.99, "auto"),
 ]
 
 
