@@ -1,4 +1,4 @@
-"""Quality-gate the serving wire codecs (pcm16 / mulaw8 / adpcm4).
+"""Quality-gate the serving wire codecs (pcm16 / mulaw8 / adpcm4 / adpcm3).
 
 Round-3 VERDICT #1: the headline steady state is bound by the host wire
 (~6.7 MiB mu-law per b=32 batch over a 40-50 MiB/s link), so a sub-8-bit
@@ -34,7 +34,7 @@ _ap.add_argument("N", nargs="?", type=int, default=8)
 _ap.add_argument("T", nargs="?", type=int, default=800)
 _args = _ap.parse_args()
 
-CODECS = ("pcm16", "mulaw8", "adpcm4")
+CODECS = ("pcm16", "mulaw8", "adpcm4", "adpcm3")
 
 
 def _wire_roundtrip_host(codec: str, wav_dev, n: int):
@@ -64,6 +64,11 @@ def _wire_roundtrip_host(codec: str, wav_dev, n: int):
         rows = np.asarray(jax.jit(ops.adpcm4_encode_wire)(wav_dev))
         return np.stack(
             [ops.adpcm4_decode_host(rows[i], n) for i in range(rows.shape[0])]
+        ), rows.nbytes
+    if codec == "adpcm3":
+        rows = np.asarray(jax.jit(ops.adpcm3_encode_wire)(wav_dev))
+        return np.stack(
+            [ops.adpcm3_decode_host(rows[i], n) for i in range(rows.shape[0])]
         ), rows.nbytes
     raise ValueError(codec)
 

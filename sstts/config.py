@@ -333,8 +333,10 @@ class InferenceConfig:
     #: above the Griffin-Lim quality floor), or "adpcm4" (4-bit
     #: block-adaptive linear DPCM, ~0.52 B/sample — quarter of PCM16;
     #: ~37 dB SNR on corpus speech and mel-L1-invisible under the
-    #: Griffin-Lim floor, `scripts/wire_codec_gate.py`).  Never affects
-    #: `full_output` float32 audio.
+    #: Griffin-Lim floor, `scripts/wire_codec_gate.py`), or "adpcm3"
+    #: (the same DPCM at 3 bits, ~0.39 B/sample — for when the wire binds
+    #: even at adpcm4; quality-gate before serving with it).  Never
+    #: affects `full_output` float32 audio.
     wire_format: str = "pcm16"
     output_dir: str = "synthesized"
 

@@ -180,15 +180,23 @@ def mulaw_decode_host(u8: np.ndarray, mu: float = 255.0) -> np.ndarray:
 # PCM16's 2.0.  Quality gate: scripts/wire_codec_gate.py (SNR arms) + the
 # trained-checkpoint audio-domain mel-L1 arm (scripts/gl_trained_ab.py
 # --wire).
+#
+# adpcm3 (round 4) is the same codec at 3 bits/delta (clip [-4, 3], scale
+# max|delta|/3; 8 codes pack into 3 bytes -> 100 B/block = 0.391 B/sample).
+# One quantizer bit costs ~6 dB: expected ~31 dB on corpus speech vs
+# adpcm4's 37 dB — whether that stays under the Griffin-Lim quality floor
+# is exactly what the wire gate decides.
 
 ADPCM_BLOCK = 256
 
 
-def adpcm4_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
-    """[-1, 1] audio (B, n) -> uint8 wire rows (B, 132 * ceil(n/256)).
+def _dpcm_quantize_blocks(y, q_lo, q_hi, levels):
+    """Shared block-adaptive feedback-DPCM quantizer (device, lax.scan).
 
-    Block-adaptive 4-bit feedback DPCM, linear domain (see the layout
-    comment above).  Inverse: `adpcm4_decode_host`.
+    [-1, 1] audio (B, n) -> (codes (B, nb, block) uint8 offset by -q_lo
+    with dummy slot 0, scale (B, nb) f16, seeds (B, nb) i16).  `levels` is
+    the positive-side step count the per-block scale divides by (7 for
+    4-bit [-8, 7], 3 for 3-bit [-4, 3]).
     """
     block = ADPCM_BLOCK
     bsz, n = y.shape
@@ -200,26 +208,39 @@ def adpcm4_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
     seeds_i16 = jnp.round(blocks[..., 0] * 32767.0).astype(jnp.int16)
     seed_rec = seeds_i16.astype(jnp.float32) / 32767.0
     # Per-block scale from the open-loop deltas (feedback deltas can exceed
-    # the open-loop max by one quantization error; the clip to [-8, 7] turns
-    # that into momentary slope overload, standard for ADPCM).  f16 on the
-    # wire; the encoder must use the f16-rounded value the decoder will see.
+    # the open-loop max by one quantization error; the clip to [q_lo, q_hi]
+    # turns that into momentary slope overload, standard for ADPCM).  f16 on
+    # the wire; the encoder must use the f16-rounded value the decoder sees.
     deltas = blocks[..., 1:] - blocks[..., :-1]
-    scale = jnp.max(jnp.abs(deltas), axis=-1) / 7.0
+    scale = jnp.max(jnp.abs(deltas), axis=-1) / float(levels)
     scale = jnp.maximum(scale, 1e-6).astype(jnp.float16)
     scale_f = scale.astype(jnp.float32)
 
     def step(rec, u_t):
-        q = jnp.clip(jnp.round((u_t - rec) / scale_f), -8.0, 7.0)
+        q = jnp.clip(jnp.round((u_t - rec) / scale_f), q_lo, q_hi)
         return rec + q * scale_f, q
 
     # scan over the 255 in-block positions; every (batch, block) pair rides
     # in the lanes.  xs: (block-1, B, nb).
     xs = jnp.moveaxis(blocks[..., 1:], -1, 0)
     _, qs = jax.lax.scan(step, seed_rec, xs)
-    codes = (jnp.moveaxis(qs, 0, -1) + 8.0).astype(jnp.uint8)  # (B, nb, 255)
+    codes = (jnp.moveaxis(qs, 0, -1) - q_lo).astype(jnp.uint8)  # (B, nb, 255)
     codes = jnp.concatenate(
-        [jnp.full((bsz, nb, 1), 8, jnp.uint8), codes], axis=-1
+        [jnp.full((bsz, nb, 1), -q_lo, jnp.uint8), codes], axis=-1
     )  # dummy slot 0 = "zero delta"
+    return codes, scale, seeds_i16
+
+
+def adpcm4_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] audio (B, n) -> uint8 wire rows (B, 132 * ceil(n/256)).
+
+    Block-adaptive 4-bit feedback DPCM, linear domain (see the layout
+    comment above).  Inverse: `adpcm4_decode_host`.
+    """
+    block = ADPCM_BLOCK
+    bsz, n = y.shape
+    nb = -(-n // block)
+    codes, scale, seeds_i16 = _dpcm_quantize_blocks(y, -8.0, 7.0, 7)
     packed = codes[..., 0::2] | (codes[..., 1::2] << 4)  # (B, nb, 128)
     scale_u8 = jax.lax.bitcast_convert_type(scale, jnp.uint8)  # (B, nb, 2)
     seed_u8 = jax.lax.bitcast_convert_type(seeds_i16, jnp.uint8)  # (B, nb, 2)
@@ -280,6 +301,94 @@ def adpcm4_wire_bytes(n_samples: int) -> int:
     """Wire row width (bytes) produced by `adpcm4_encode_wire` for n samples."""
     nb = -(-n_samples // ADPCM_BLOCK)
     return nb * (ADPCM_BLOCK // 2 + 4)
+
+
+def adpcm3_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] audio (B, n) -> uint8 wire rows (B, 100 * ceil(n/256)).
+
+    Block-adaptive 3-bit feedback DPCM, linear domain — the adpcm4 codec
+    at one fewer quantizer bit (0.391 B/sample).  Eight 3-bit codes pack
+    little-endian into 3 bytes.  Inverse: `adpcm3_decode_host`.
+    """
+    block = ADPCM_BLOCK
+    bsz, n = y.shape
+    nb = -(-n // block)
+    codes, scale, seeds_i16 = _dpcm_quantize_blocks(y, -4.0, 3.0, 3)
+    # (B, nb, 256) 3-bit values -> (B, nb, 32, 8) -> 3 bytes per 8 codes.
+    c = codes.reshape(bsz, nb, block // 8, 8)
+    b0 = c[..., 0] | (c[..., 1] << 3) | ((c[..., 2] & 3) << 6)
+    b1 = (c[..., 2] >> 2) | (c[..., 3] << 1) | (c[..., 4] << 4) | (
+        (c[..., 5] & 1) << 7
+    )
+    b2 = (c[..., 5] >> 1) | (c[..., 6] << 2) | (c[..., 7] << 5)
+    packed = jnp.stack([b0, b1, b2], axis=-1)  # (B, nb, 32, 3)
+    scale_u8 = jax.lax.bitcast_convert_type(scale, jnp.uint8)  # (B, nb, 2)
+    seed_u8 = jax.lax.bitcast_convert_type(seeds_i16, jnp.uint8)  # (B, nb, 2)
+    return jnp.concatenate(
+        [
+            packed.reshape(bsz, nb * (block * 3 // 8)),
+            scale_u8.reshape(bsz, nb * 2),
+            seed_u8.reshape(bsz, nb * 2),
+        ],
+        axis=1,
+    )
+
+
+def adpcm3_decode_host_rows(rows: np.ndarray) -> np.ndarray:
+    """Host-side (numpy, vectorized) inverse of `adpcm3_encode_wire`.
+
+    Same telescoped-cumsum structure as `adpcm4_decode_host_rows`; only the
+    bit unpacking differs (3 bytes -> 8 codes).
+    """
+    block = ADPCM_BLOCK
+    rows = np.ascontiguousarray(np.atleast_2d(np.asarray(rows, np.uint8)))
+    bsz = rows.shape[0]
+    per_block = block * 3 // 8 + 4
+    nb = rows.shape[1] // per_block
+    npk = nb * (block * 3 // 8)
+    packed = rows[:, :npk].reshape(bsz, nb, block // 8, 3)
+    scales = (
+        rows[:, npk : npk + 2 * nb]
+        .reshape(-1)
+        .view(np.float16)
+        .astype(np.float32)
+        .reshape(bsz, nb, 1)
+    )
+    seeds = (
+        rows[:, npk + 2 * nb :]
+        .reshape(-1)
+        .view(np.int16)
+        .astype(np.float32)
+        .reshape(bsz, nb, 1)
+        / 32767.0
+    )
+    b0 = packed[..., 0].astype(np.uint16)
+    b1 = packed[..., 1].astype(np.uint16)
+    b2 = packed[..., 2].astype(np.uint16)
+    codes = np.empty((bsz, nb, block // 8, 8), np.float32)
+    codes[..., 0] = b0 & 7
+    codes[..., 1] = (b0 >> 3) & 7
+    codes[..., 2] = ((b0 >> 6) | (b1 << 2)) & 7
+    codes[..., 3] = (b1 >> 1) & 7
+    codes[..., 4] = (b1 >> 4) & 7
+    codes[..., 5] = ((b1 >> 7) | (b2 << 1)) & 7
+    codes[..., 6] = (b2 >> 2) & 7
+    codes[..., 7] = (b2 >> 5) & 7
+    q = codes.reshape(bsz, nb, block) - 4.0
+    q[..., 0] = 0.0  # dummy slot; sample 0 is the seed itself
+    y = seeds + np.cumsum(q * scales, axis=-1)
+    return y.reshape(bsz, nb * block).astype(np.float32)
+
+
+def adpcm3_decode_host(row: np.ndarray, n_samples: int) -> np.ndarray:
+    """Single-utterance convenience wrapper of `adpcm3_decode_host_rows`."""
+    return adpcm3_decode_host_rows(row[None])[0, :n_samples]
+
+
+def adpcm3_wire_bytes(n_samples: int) -> int:
+    """Wire row width (bytes) produced by `adpcm3_encode_wire` for n samples."""
+    nb = -(-n_samples // ADPCM_BLOCK)
+    return nb * (ADPCM_BLOCK * 3 // 8 + 4)
 
 
 def _stft_magnitude_dft(

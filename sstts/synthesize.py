@@ -61,10 +61,12 @@ class Synthesizer:
         independent across shards)."""
         if partition not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown partition mode: {partition!r}")
-        if cfg.inference.wire_format not in ("pcm16", "mulaw8", "adpcm4"):
+        if cfg.inference.wire_format not in (
+            "pcm16", "mulaw8", "adpcm4", "adpcm3"
+        ):
             raise ValueError(
                 f"unknown wire_format {cfg.inference.wire_format!r}; "
-                "expected 'pcm16', 'mulaw8' or 'adpcm4'"
+                "expected 'pcm16', 'mulaw8', 'adpcm4' or 'adpcm3'"
             )
         # One flag governs every Pallas path: GSPMD partitions a global
         # program from sharding annotations but cannot shard an opaque
@@ -334,9 +336,14 @@ class Synthesizer:
         elif cfg.inference.wire_format == "adpcm4":
             from sstts.dsp.ops import adpcm4_encode_wire
 
-            # ~0.52 B/sample: 4-bit block-adaptive DPCM in the mu-law
-            # domain (device-side lax.scan encode; host cumsum decode).
+            # ~0.52 B/sample: 4-bit block-adaptive linear-domain DPCM
+            # (device-side lax.scan encode; host cumsum decode).
             wire = adpcm4_encode_wire(wav)
+        elif cfg.inference.wire_format == "adpcm3":
+            from sstts.dsp.ops import adpcm3_encode_wire
+
+            # ~0.39 B/sample: the same DPCM at 3 bits/delta.
+            wire = adpcm3_encode_wire(wav)
         else:
             wire = jnp.round(
                 jnp.clip(wav, -1.0, 1.0) * 32767.0
@@ -469,6 +476,10 @@ class Synthesizer:
             from sstts.dsp.ops import adpcm4_decode_host_rows
 
             return adpcm4_decode_host_rows(wire)
+        if self.cfg.inference.wire_format == "adpcm3":
+            from sstts.dsp.ops import adpcm3_decode_host_rows
+
+            return adpcm3_decode_host_rows(wire)
         return wire.astype(np.float32) * (1.0 / 32767.0)
 
     def _fetch_decoded(self, out) -> np.ndarray:

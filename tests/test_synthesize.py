@@ -400,6 +400,67 @@ def test_adpcm4_wire_roundtrip():
     assert snr > 27.0, snr
 
 
+def test_adpcm3_wire_roundtrip():
+    """Device adpcm3 encode -> host decode at ~0.39 B/sample (the adpcm4
+    codec minus one quantizer bit, ~6 dB).  Same worst-face noise-heavy
+    mix as the adpcm4 test with the bound dropped accordingly; corpus-
+    speech SNR and the copy-synthesis arm live in
+    scripts/wire_codec_gate.py."""
+    import jax.numpy as jnp
+
+    from sstts.dsp.ops import (
+        adpcm3_decode_host,
+        adpcm3_encode_wire,
+        adpcm3_wire_bytes,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 8000
+    t = np.arange(n) / 8000.0
+    y = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 730 * t)
+        + 0.05 * np.sin(2 * np.pi * 2900 * t)
+        + 0.02 * rng.standard_normal(n)
+    ).astype(np.float32)
+    y = np.clip(y, -1, 1)
+    for amp in (1.0, 0.05, 0.002):  # block scales are f16: level-invariant
+        x = (amp * y).astype(np.float32)
+        wire = np.asarray(adpcm3_encode_wire(jnp.asarray(x[None, :])))
+        assert wire.dtype == np.uint8
+        assert wire.shape == (1, adpcm3_wire_bytes(n))
+        back = adpcm3_decode_host(wire[0], n)
+        snr = 10 * np.log10(np.mean(x**2) / np.mean((back - x) ** 2))
+        assert snr > 21.0, (amp, snr)
+    # Non-block-multiple length: padding must not corrupt the kept samples.
+    x = y[:1000]
+    wire = np.asarray(adpcm3_encode_wire(jnp.asarray(x[None, :])))
+    back = adpcm3_decode_host(wire[0], 1000)
+    assert back.shape == (1000,)
+    snr = 10 * np.log10(np.mean(x**2) / np.mean((back - x) ** 2))
+    assert snr > 21.0, snr
+
+
+def test_adpcm3_wire_format_synthesis(synth):
+    """wire_format='adpcm3' produces audio close to the PCM16 path (same
+    params/seed), at ~1/5 the wire bytes."""
+    cfg, _ = synth
+    cfg3 = cfg.replace(
+        inference=dataclasses.replace(cfg.inference, wire_format="adpcm3")
+    )
+    state = jax.device_get(create_state(cfg))
+    s16 = Synthesizer(cfg, state.params, state.batch_stats, seed=7)
+    s3 = Synthesizer(cfg3, state.params, state.batch_stats, seed=7)
+    w16 = s16.synthesize_batch(["hello world", "abc"])
+    w3 = s3.synthesize_batch(["hello world", "abc"])
+    assert all(len(a) == len(b) for a, b in zip(w16, w3))
+    for a, b in zip(w16, w3):
+        if len(a) == 0:
+            continue
+        scale = max(float(np.abs(a).max()), 1e-3)
+        assert np.abs(a - b).max() / scale < 0.2
+
+
 def test_adpcm4_wire_format_synthesis(synth):
     """wire_format='adpcm4' produces audio close to the PCM16 path (same
     params/seed), at ~quarter the wire bytes."""
