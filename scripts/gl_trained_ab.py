@@ -136,6 +136,20 @@ def main() -> int:
         # Griffin-Lim; only the wire round-trip differs.  n_frames for the
         # loss masking comes from one full-output call (same seed, so the
         # same decode the wire candidates produce).
+        #
+        # READ THE RATIOS ONE-SIDED.  Lossy codecs routinely score BELOW
+        # 1.0x here (2026-08-20 flagship run: mulaw8 0.666x, adpcm3
+        # 0.709x, adpcm4 0.838x of pcm16) — that is a METRIC ARTIFACT,
+        # not a quality improvement: quantization noise fills the
+        # generated audio's inter-harmonic/high-band spectral valleys
+        # toward the ground truth's natural noise floor, shrinking the
+        # dB-domain mel-L1 while the waveform SNR drops from ~89 dB
+        # (pcm16) to ~34-41 dB (verified mechanism: a synthetic
+        # harmonic-vs-noisy-GT A/B reproduces the exact ordering —
+        # noisier codec => "better" mel-L1).  This arm therefore gates
+        # only "does not HURT the acceptance metric" (ratio <= 1.05);
+        # actual codec fidelity is gated by the SNR-vs-GL-floor arm in
+        # scripts/wire_codec_gate.py.
         ref = Synthesizer(cfg, state.params, state.batch_stats, seed=11)
         _, full = ref.synthesize_batch(
             texts, full_output=True, fetch=("wav", "n_frames", "n_samples")
@@ -170,9 +184,16 @@ def main() -> int:
         for res in results[1:]:
             ratio = res["audio_mel_l1_vs_gt"] / base
             verdict = "PASS" if ratio <= 1.05 else "fail"
+            note = (
+                " [<1x = codec noise filling spectral valleys toward the"
+                " GT noise floor — metric artifact, not an improvement;"
+                " fidelity is gated by wire_codec_gate.py's SNR arm]"
+                if ratio < 0.95
+                else ""
+            )
             print(
                 f"wire={res['wire_format']}: {res['audio_mel_l1_vs_gt']:.5f} "
-                f"vs pcm16 {base:.5f} ({ratio:.3f}x) {verdict}",
+                f"vs pcm16 {base:.5f} ({ratio:.3f}x) {verdict}{note}",
                 flush=True,
             )
         return 0

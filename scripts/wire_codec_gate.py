@@ -138,7 +138,14 @@ def main() -> None:
         results[codec] = float(np.abs(mel - gt_mel).mean())
         print(f"  {codec:7s}: mel-L1 {results[codec]:.5f}", flush=True)
     base = results["pcm16"]
-    print("gate (mel-L1 <= 1.02x PCM16 wire):")
+    # One-sided gate: ratios BELOW 1.0 are a metric artifact, not an
+    # improvement — codec quantization noise fills the GL output's
+    # inter-harmonic spectral valleys toward the ground truth's natural
+    # noise floor, shrinking dB-domain mel-L1 while waveform SNR drops
+    # by ~50 dB (mechanism verified 2026-08-20 with a synthetic
+    # harmonic-vs-noisy-GT A/B; see scripts/gl_trained_ab.py --wire).
+    # Codec fidelity is what the SNR arm above gates.
+    print("gate (mel-L1 <= 1.02x PCM16 wire; <1x = valley-fill artifact):")
     for codec in CODECS:
         if codec == "pcm16":
             continue
