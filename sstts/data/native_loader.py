@@ -59,6 +59,11 @@ def _build() -> Optional[ctypes.CDLL]:
         ctypes.POINTER(ctypes.c_int64), ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
     ]
+    lib.sstts_adpcm_decode.restype = None
+    lib.sstts_adpcm_decode.argtypes = [
+        ctypes.POINTER(ctypes.c_uint8), ctypes.c_int32, ctypes.c_int64,
+        ctypes.c_int32, ctypes.POINTER(ctypes.c_float), ctypes.c_int32,
+    ]
     return lib
 
 
@@ -108,6 +113,31 @@ def trim_silence(
         ctypes.byref(start), ctypes.byref(end),
     )
     return y[start.value : end.value]
+
+
+def adpcm_decode_rows(rows: np.ndarray, bits: int) -> Optional[np.ndarray]:
+    """Native decode of an ADPCM wire matrix -> (bsz, nb*256) float32.
+
+    `rows` is the (bsz, W) uint8 wire produced by
+    `sstts.dsp.ops.adpcm{4,3}_encode_wire` (bits = 4 or 3).  Returns None
+    when the native library is unavailable — the caller falls back to the
+    numpy decoder, which is also the bitwise-parity oracle
+    (tests/test_native.py).  Runs in the serving fetch pool: ctypes
+    releases the GIL, so decode overlaps the link like the numpy path.
+    """
+    if not available():
+        return None
+    rows = np.ascontiguousarray(np.atleast_2d(np.asarray(rows, np.uint8)))
+    per_block = 256 * bits // 8 + 4
+    nb = rows.shape[1] // per_block
+    out = np.empty((rows.shape[0], nb * 256), np.float32)
+    _LIB.sstts_adpcm_decode(
+        rows.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        rows.shape[0], rows.shape[1], bits,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        min(rows.shape[0], os.cpu_count() or 1),
+    )
+    return out
 
 
 def decode_batch(

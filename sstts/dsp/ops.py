@@ -255,7 +255,24 @@ def adpcm4_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def adpcm4_decode_host_rows(rows: np.ndarray) -> np.ndarray:
-    """Host-side (numpy, vectorized) inverse of `adpcm4_encode_wire`.
+    """Host-side inverse of `adpcm4_encode_wire` -> (B, n_pad) float32.
+
+    Dispatches to the native C++ row decoder when available (~5x the numpy
+    path on the 1-core bench host, where decode is co-binding with the
+    wire in the serving steady state — docs/performance.md "The
+    steady-state floor"); the numpy implementation below is the fallback
+    and the bitwise-parity oracle (tests/test_native.py).
+    """
+    from sstts.data import native_loader
+
+    dec = native_loader.adpcm_decode_rows(rows, 4)
+    if dec is not None:
+        return dec
+    return _adpcm4_decode_rows_np(rows)
+
+
+def _adpcm4_decode_rows_np(rows: np.ndarray) -> np.ndarray:
+    """Numpy (vectorized) inverse of `adpcm4_encode_wire`.
 
     `rows` is a (B, W) uint8 wire matrix; returns (B, n_pad) float32 audio
     (callers slice each row to its true length).  The encoder's feedback
@@ -335,9 +352,23 @@ def adpcm3_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
 
 
 def adpcm3_decode_host_rows(rows: np.ndarray) -> np.ndarray:
-    """Host-side (numpy, vectorized) inverse of `adpcm3_encode_wire`.
+    """Host-side inverse of `adpcm3_encode_wire` -> (B, n_pad) float32.
 
-    Same telescoped-cumsum structure as `adpcm4_decode_host_rows`; only the
+    Native C++ when available, numpy fallback/oracle — see
+    `adpcm4_decode_host_rows`.
+    """
+    from sstts.data import native_loader
+
+    dec = native_loader.adpcm_decode_rows(rows, 3)
+    if dec is not None:
+        return dec
+    return _adpcm3_decode_rows_np(rows)
+
+
+def _adpcm3_decode_rows_np(rows: np.ndarray) -> np.ndarray:
+    """Numpy (vectorized) inverse of `adpcm3_encode_wire`.
+
+    Same telescoped-cumsum structure as `_adpcm4_decode_rows_np`; only the
     bit unpacking differs (3 bytes -> 8 codes).
     """
     block = ADPCM_BLOCK

@@ -152,6 +152,90 @@ void trim_impl(const float* in, int64_t n, float top_db, int64_t frame,
   *end_out = std::min(n, last * hop + frame);
 }
 
+// IEEE binary16 -> binary32 (portable bit manipulation; the ADPCM wire
+// carries per-block float16 scales written by jax bitcast on device).
+float half_to_float(uint16_t h) {
+  uint32_t sign = (uint32_t)(h & 0x8000) << 16;
+  uint32_t exp = (h >> 10) & 0x1F;
+  uint32_t man = h & 0x3FF;
+  uint32_t bits;
+  if (exp == 0) {
+    if (man == 0) {
+      bits = sign;
+    } else {  // subnormal: renormalize into the f32 exponent range
+      int e = 0;
+      while (!(man & 0x400)) {
+        man <<= 1;
+        ++e;
+      }
+      man &= 0x3FF;
+      bits = sign | ((uint32_t)(113 - e) << 23) | (man << 13);
+    }
+  } else if (exp == 31) {
+    bits = sign | 0x7F800000u | (man << 13);
+  } else {
+    bits = sign | ((exp + 112) << 23) | (man << 13);
+  }
+  float f;
+  std::memcpy(&f, &bits, 4);
+  return f;
+}
+
+// Decode one ADPCM wire row (layout produced by sstts.dsp.ops
+// adpcm{4,3}_encode_wire: [packed codes][float16 scales][int16 seeds],
+// 256-sample blocks).  Per block, y[0] = seed/32767 and
+// y[i] = y[i-1] + (code_i - offset)*scale, accumulated sequentially in
+// float32; numpy's cumsum may order the additions differently, so parity
+// with the oracle is within float32 rounding (~1e-7, measured; the
+// quantizer step is ~1e-2 of full scale, so this is far below wire noise).
+void adpcm_decode_row(const uint8_t* row, int64_t nb, int32_t bits,
+                      float* out) {
+  const int64_t block = 256;
+  const int64_t packed_per_block = block * bits / 8;  // 128 (4b) / 96 (3b)
+  const uint8_t* packed = row;
+  const uint8_t* scale_b = row + nb * packed_per_block;
+  const uint8_t* seed_b = scale_b + nb * 2;
+  const float offset = bits == 4 ? 8.0f : 4.0f;
+  for (int64_t b = 0; b < nb; ++b) {
+    uint16_t sh = (uint16_t)scale_b[2 * b] | ((uint16_t)scale_b[2 * b + 1] << 8);
+    float scale = half_to_float(sh);
+    int16_t seed_i =
+        (int16_t)((uint16_t)seed_b[2 * b] | ((uint16_t)seed_b[2 * b + 1] << 8));
+    float acc = (float)seed_i / 32767.0f;
+    float* o = out + b * block;
+    o[0] = acc;  // code slot 0 is a dummy; sample 0 is the seed itself
+    if (bits == 4) {
+      const uint8_t* pb = packed + b * packed_per_block;
+      for (int64_t i = 1; i < block; ++i) {
+        uint8_t byte = pb[i >> 1];
+        float c = (float)((i & 1) ? (byte >> 4) : (byte & 15));
+        acc += (c - offset) * scale;
+        o[i] = acc;
+      }
+    } else {  // 3-bit: 3 bytes -> 8 codes, little-endian packing
+      const uint8_t* pb = packed + b * packed_per_block;
+      for (int64_t g = 0; g < block / 8; ++g) {
+        uint16_t b0 = pb[3 * g], b1 = pb[3 * g + 1], b2 = pb[3 * g + 2];
+        uint8_t c[8] = {
+            (uint8_t)(b0 & 7),
+            (uint8_t)((b0 >> 3) & 7),
+            (uint8_t)(((b0 >> 6) | (b1 << 2)) & 7),
+            (uint8_t)((b1 >> 1) & 7),
+            (uint8_t)((b1 >> 4) & 7),
+            (uint8_t)(((b1 >> 7) | (b2 << 1)) & 7),
+            (uint8_t)((b2 >> 2) & 7),
+            (uint8_t)((b2 >> 5) & 7),
+        };
+        int64_t base = g * 8;
+        for (int64_t k = base == 0 ? 1 : 0; k < 8; ++k) {
+          acc += ((float)c[k] - offset) * scale;
+          o[base + k] = acc;
+        }
+      }
+    }
+  }
+}
+
 }  // namespace
 
 extern "C" {
@@ -184,6 +268,33 @@ void sstts_decode_batch(const char** paths, int32_t n, float* out,
   };
   std::vector<std::thread> pool;
   int32_t k = std::min<int32_t>(n_threads, n);
+  pool.reserve((size_t)k);
+  for (int32_t i = 0; i < k; ++i) pool.emplace_back(worker);
+  for (auto& t : pool) t.join();
+}
+
+// Decode a (bsz, row_bytes) ADPCM wire matrix into (bsz, nb*256) float32,
+// threaded over rows.  `bits` is 4 or 3 (adpcm4/adpcm3); nb is derived from
+// row_bytes.  The serving stream's hot host loop (Synthesizer._decode_wire)
+// calls this instead of the numpy cumsum decoder (~5x on the 1-core bench
+// host); the numpy implementation stays as oracle + fallback.
+void sstts_adpcm_decode(const uint8_t* rows, int32_t bsz, int64_t row_bytes,
+                        int32_t bits, float* out, int32_t n_threads) {
+  const int64_t per_block = 256 * bits / 8 + 4;
+  const int64_t nb = row_bytes / per_block;
+  const int64_t out_stride = nb * 256;
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int32_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int32_t i = next.fetch_add(1);
+      if (i >= bsz) break;
+      adpcm_decode_row(rows + (int64_t)i * row_bytes, nb, bits,
+                       out + (int64_t)i * out_stride);
+    }
+  };
+  std::vector<std::thread> pool;
+  int32_t k = std::min<int32_t>(n_threads, bsz);
   pool.reserve((size_t)k);
   for (int32_t i = 0; i < k; ++i) pool.emplace_back(worker);
   for (auto& t : pool) t.join();

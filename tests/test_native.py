@@ -63,3 +63,61 @@ def test_native_trim_matches_oracle(corpus):
         want = ref.trim_silence(y.astype(np.float64), 40.0)
         assert len(got) == len(want)
         np.testing.assert_allclose(got, want.astype(np.float32), atol=1e-6)
+
+
+def test_native_adpcm_decode_matches_numpy():
+    """Native C++ ADPCM row decode == numpy oracle within f32 rounding.
+
+    The native path serves the hot fetch loop (Synthesizer._decode_wire);
+    the numpy decoder is the oracle.  Parity is within float32 summation-
+    order noise (~1e-7 — numpy's cumsum may associate differently), far
+    below the quantizer step.  Covers silence rows, fp16-subnormal scale
+    blocks (tiny amplitudes), full-scale rows, and non-multiple-of-256
+    lengths (padded tail blocks).
+    """
+    import jax.numpy as jnp
+
+    from sstts.dsp import ops
+
+    rng = np.random.default_rng(7)
+    for n in (256, 700, 5000):
+        wav = np.clip(
+            rng.standard_normal((4, n)).astype(np.float32) * 0.3, -1, 1
+        )
+        wav[0] = 0.0       # exact silence
+        wav[1] *= 1e-6     # fp16-subnormal block scales
+        wav[2] = np.clip(wav[2] * 10, -1, 1)  # heavy clipping
+        wd = jnp.asarray(wav)
+        for bits, enc, dec_np in (
+            (4, ops.adpcm4_encode_wire, ops._adpcm4_decode_rows_np),
+            (3, ops.adpcm3_encode_wire, ops._adpcm3_decode_rows_np),
+        ):
+            rows = np.asarray(enc(wd))
+            want = dec_np(rows)
+            got = native_loader.adpcm_decode_rows(rows, bits)
+            if got is None:  # no toolchain: dispatch falls back to numpy
+                continue
+            assert got.shape == want.shape
+            np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+
+def test_adpcm_public_decode_dispatches():
+    """The public decode entry points agree with the numpy oracle exactly
+    as `adpcm_decode_rows` does (native or fallback — same contract)."""
+    import jax.numpy as jnp
+
+    from sstts.dsp import ops
+
+    rng = np.random.default_rng(8)
+    wav = np.clip(rng.standard_normal((3, 1000)).astype(np.float32) * 0.2, -1, 1)
+    wd = jnp.asarray(wav)
+    for enc, dec, dec_np in (
+        (ops.adpcm4_encode_wire, ops.adpcm4_decode_host_rows,
+         ops._adpcm4_decode_rows_np),
+        (ops.adpcm3_encode_wire, ops.adpcm3_decode_host_rows,
+         ops._adpcm3_decode_rows_np),
+    ):
+        rows = np.asarray(enc(wd))
+        np.testing.assert_allclose(
+            dec(rows), dec_np(rows), rtol=0, atol=1e-6
+        )
