@@ -43,6 +43,10 @@ def main() -> int:
                     help="frames per decoder step; SURVEY §2.4 pins "
                     "r in {2, 5} — 2 is the reference's other canonical "
                     "value (round-4 r=2 alignment probe)")
+    ap.add_argument("--ema-decay", type=float, default=0.0,
+                    help="training.ema_decay (Polyak averaging; 0 = off). "
+                    "Resuming a pre-EMA workdir seeds EMA from the "
+                    "restored params (sstts.checkpoint)")
     args = ap.parse_args()
 
     from sstts.config import Config
@@ -63,6 +67,7 @@ def main() -> int:
             cfg.training,
             steps_per_call=args.steps_per_call,
             device_corpus_format=args.corpus_format,
+            ema_decay=args.ema_decay,
         ),
     )
 
@@ -72,12 +77,23 @@ def main() -> int:
 
     eval_metrics = evaluate_state(cfg, state)
     resynth = resynthesis_metrics(cfg, state, num_utterances=args.resynth_utts)
-    print(json.dumps({
+    out = {
         "step": int(state.step),
         "train_wall_s": round(train_wall, 1),
         **{f"eval_{k}": round(float(v), 5) for k, v in eval_metrics.items()},
         **{k: round(float(v), 5) for k, v in resynth.items()},
-    }))
+    }
+    if state.ema_params is not None:
+        # The same acceptance metric on the Polyak-averaged weights, so an
+        # EMA run reports both arms from one process.
+        ema_state = state.replace(params=state.ema_params)
+        resynth_ema = resynthesis_metrics(
+            cfg, ema_state, num_utterances=args.resynth_utts
+        )
+        out.update(
+            {f"ema_{k}": round(float(v), 5) for k, v in resynth_ema.items()}
+        )
+    print(json.dumps(out))
     return 0
 
 

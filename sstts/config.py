@@ -204,6 +204,17 @@ class TrainingConfig:
     adam_beta2: float = 0.999
     adam_eps: float = 1e-8
     grad_clip_norm: float = 1.0
+    #: Exponential moving average (Polyak averaging) of the parameters,
+    #: maintained inside the jitted step when > 0 (0 disables — the
+    #: default; nothing about the state tree or checkpoint changes).
+    #: When enabled the TrainState carries an `ema_params` tree updated as
+    #: ema = decay*ema + (1-decay)*params each step; evaluation/serving
+    #: select it with `inference.use_ema`.  Restore adapts both ways: an
+    #: EMA run resuming a pre-EMA checkpoint seeds ema from the restored
+    #: params; a non-EMA run reading an EMA checkpoint keeps the stored
+    #: ema available (checkpoint.py).  Training-section field: never part
+    #: of the checkpoint fingerprint.
+    ema_decay: float = 0.0
     max_steps: int = 500000
     checkpoint_every: int = 5000
     summary_every: int = 100
@@ -338,6 +349,12 @@ class InferenceConfig:
     #: even at adpcm4; quality-gate before serving with it).  Never
     #: affects `full_output` float32 audio.
     wire_format: str = "pcm16"
+    #: Serve/evaluate from the checkpoint's EMA (Polyak-averaged)
+    #: parameters instead of the raw ones (requires a checkpoint trained
+    #: with `training.ema_decay` > 0; restore raises if no EMA tree is
+    #: stored).  Fingerprint-neutral: EMA params share the raw tree's
+    #: structure.
+    use_ema: bool = False
     output_dir: str = "synthesized"
 
 

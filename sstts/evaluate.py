@@ -132,6 +132,17 @@ def evaluate(
     step, state = ckpt.restore_latest(jax.device_get(state))
     if step is None:
         raise FileNotFoundError(f"no checkpoint found under {workdir}")
+    if cfg.inference.use_ema:
+        if state.ema_params is None:
+            raise ValueError(
+                f"inference.use_ema: checkpoint under {workdir} stores no "
+                "ema_params tree (train with training.ema_decay > 0)"
+            )
+        # Evaluate the Polyak-averaged weights: swap them in as the params
+        # for every downstream consumer (losses + resynthesis + WAV dumps).
+        # batch_stats stay as stored — BN statistics are already running
+        # averages.
+        state = state.replace(params=state.ema_params)
     metrics = evaluate_state(cfg, state, num_batches)
     try:
         metrics.update(resynthesis_metrics(cfg, state))

@@ -163,12 +163,20 @@ class Synthesizer:
         )
         ckpt = CheckpointManager(cfg, workdir)
         try:
+            if cfg.inference.use_ema and not ckpt.stored_has_ema():
+                raise ValueError(
+                    f"inference.use_ema: checkpoint under {workdir} stores "
+                    "no ema_params tree (train with training.ema_decay > 0)"
+                )
             step, state = ckpt.restore_latest(template)
         finally:
             ckpt.close()
         if step is None:
             raise FileNotFoundError(f"no checkpoint under {workdir}")
-        return cls(cfg, state.params, state.batch_stats, **kw)
+        params = (
+            state.ema_params if cfg.inference.use_ema else state.params
+        )
+        return cls(cfg, params, state.batch_stats, **kw)
 
     def _shard_map_program(
         self, variables, char_ids, rng, max_steps: int, lite: bool = False

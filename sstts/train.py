@@ -45,6 +45,10 @@ class TrainState(struct.PyTreeNode):
     params: Any
     batch_stats: Any
     opt_state: Any
+    #: Polyak-averaged parameter tree (training.ema_decay > 0), else None
+    #: (None holds no pytree leaves, so the default state tree — and every
+    #: pre-EMA checkpoint — is unchanged).
+    ema_params: Any = None
 
 
 def lr_schedule(cfg: Config) -> optax.Schedule:
@@ -102,6 +106,14 @@ def _make_init_fn(cfg: Config, mesh: Optional[Mesh] = None):
             params=variables["params"],
             batch_stats=variables.get("batch_stats", {}),
             opt_state=tx.init(variables["params"]),
+            # EMA starts at the init point (standard Polyak seeding; a
+            # resume from a pre-EMA checkpoint re-seeds from the restored
+            # params instead — sstts.checkpoint).
+            ema_params=(
+                jax.tree.map(lambda p: p, variables["params"])
+                if cfg.training.ema_decay > 0.0
+                else None
+            ),
         )
 
     return init_fn
@@ -191,11 +203,24 @@ def _make_step_body(
         metrics = dict(metrics)
         metrics["grad_norm"] = optax.global_norm(grads)
         metrics["lr"] = sched(state.step)
+        d = cfg.training.ema_decay
+        if not 0.0 <= d < 1.0:
+            raise ValueError(f"training.ema_decay must be in [0, 1): {d}")
+        new_ema = (
+            jax.tree.map(
+                lambda e, p: e * d + p * (1.0 - d),
+                state.ema_params,
+                new_params,
+            )
+            if d > 0.0 and state.ema_params is not None
+            else state.ema_params
+        )
         new_state = TrainState(
             step=state.step + 1,
             params=new_params,
             batch_stats=new_stats,
             opt_state=new_opt_state,
+            ema_params=new_ema,
         )
         return new_state, metrics
 

@@ -722,3 +722,158 @@ def test_bfloat16_compute_path():
     assert all(
         x.dtype == jnp.float32 for x in jax.tree.leaves(s16.params)
     )
+
+
+def _ema_cfg(decay):
+    cfg = _cfg()
+    return cfg.replace(
+        training=dataclasses.replace(cfg.training, ema_decay=decay)
+    )
+
+
+def test_ema_update_math():
+    """One step at decay d: ema == d*init_params + (1-d)*new_params
+    (Polyak seeded at the init point)."""
+    d = 0.25
+    cfg = _ema_cfg(d)
+    state = train_mod.create_state(cfg)
+    assert state.ema_params is not None
+    init_params = jax.device_get(state.params)
+    batch = jax.tree.map(jnp.asarray, _one_batch(cfg))
+    new_state, _ = train_mod.make_train_step(cfg)(state, batch)
+    want = jax.tree.map(
+        lambda e, p: e * d + p * (1.0 - d),
+        init_params,
+        jax.device_get(new_state.params),
+    )
+    for a, b in zip(
+        jax.tree.leaves(want), jax.tree.leaves(jax.device_get(new_state.ema_params))
+    ):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-7)
+    # Disabled -> no EMA tree, state tree unchanged from pre-EMA shape.
+    assert train_mod.create_state(_cfg()).ema_params is None
+
+
+def test_ema_checkpoint_adapts_both_ways(tmp_path):
+    """Restore adapts the optional ema_params tree in both directions
+    (sstts.checkpoint.restore_latest): a pre-EMA checkpoint read by an
+    EMA run seeds ema from the restored params; an EMA checkpoint read
+    by an EMA-less target keeps the stored EMA available."""
+    from sstts.checkpoint import CheckpointManager
+
+    cfg = _cfg()
+    ema_cfg = _ema_cfg(0.5)
+    batch = jax.tree.map(jnp.asarray, _one_batch(cfg))
+
+    # pre-EMA checkpoint -> EMA target: seeded from restored params.
+    state = train_mod.create_state(cfg)
+    state, _ = train_mod.make_train_step(cfg)(state, batch)
+    mgr = CheckpointManager(cfg, tmp_path / "pre_ema")
+    mgr.save(1, jax.device_get(state))
+    mgr.wait()
+    assert not mgr.stored_has_ema()
+    target = jax.device_get(train_mod.create_state(ema_cfg, seed=999))
+    got_step, restored = mgr.restore_latest(target)
+    mgr.close()
+    assert got_step == 1 and restored.ema_params is not None
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state.params)),
+        jax.tree.leaves(restored.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # EMA checkpoint -> EMA-less target: stored EMA survives the restore.
+    estate = train_mod.create_state(ema_cfg)
+    estate, _ = train_mod.make_train_step(ema_cfg)(estate, batch)
+    mgr2 = CheckpointManager(ema_cfg, tmp_path / "with_ema")
+    mgr2.save(1, jax.device_get(estate))
+    mgr2.wait()
+    assert mgr2.stored_has_ema()
+    target2 = jax.device_get(train_mod.create_state(cfg, seed=999))
+    got2, restored2 = mgr2.restore_latest(target2)
+    mgr2.close()
+    assert got2 == 1 and restored2.ema_params is not None
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(estate.ema_params)),
+        jax.tree.leaves(restored2.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_use_ema_serving_and_eval(tmp_path):
+    """`inference.use_ema` serves/evaluates the Polyak tree; a pre-EMA
+    checkpoint raises a clear error instead of silently serving raw
+    params."""
+    from sstts.checkpoint import CheckpointManager
+    from sstts.synthesize import Synthesizer
+
+    ema_cfg = _ema_cfg(0.9)
+    batch = jax.tree.map(jnp.asarray, _one_batch(ema_cfg))
+    state = train_mod.create_state(ema_cfg)
+    step_fn = train_mod.make_train_step(ema_cfg)
+    for _ in range(3):
+        state, _ = step_fn(state, batch)
+    mgr = CheckpointManager(ema_cfg, tmp_path / "run")
+    mgr.save(3, jax.device_get(state))
+    mgr.wait()
+    mgr.close()
+
+    use = ema_cfg.replace(
+        inference=dataclasses.replace(ema_cfg.inference, use_ema=True)
+    )
+    synth = Synthesizer.from_checkpoint(use, tmp_path / "run")
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state.ema_params)),
+        jax.tree.leaves(jax.device_get(synth.variables["params"])),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # Pre-EMA checkpoint + use_ema -> clear error.
+    raw_cfg = _cfg()
+    state2 = train_mod.create_state(raw_cfg)
+    mgr2 = CheckpointManager(raw_cfg, tmp_path / "raw")
+    mgr2.save(1, jax.device_get(state2))
+    mgr2.wait()
+    mgr2.close()
+    use2 = raw_cfg.replace(
+        inference=dataclasses.replace(raw_cfg.inference, use_ema=True)
+    )
+    with pytest.raises(ValueError, match="use_ema"):
+        Synthesizer.from_checkpoint(use2, tmp_path / "raw")
+
+
+def test_ema_restore_pre_field_checkpoint(tmp_path):
+    """Checkpoints written before TrainState had `ema_params` (no such key
+    in the stored tree at all — simulated with a field-less dict save,
+    which produces identical key paths) restore into the current state,
+    with EMA seeded when the target wants it."""
+    from sstts.checkpoint import CheckpointManager
+
+    cfg = _cfg()
+    state = train_mod.create_state(cfg)
+    old_format = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    mgr = CheckpointManager(cfg, tmp_path)
+    mgr.save(1, jax.device_get(old_format))
+    mgr.wait()
+    assert mgr._stored_ema_kind(1) == "absent"
+
+    got_step, restored = mgr.restore_latest(
+        jax.device_get(train_mod.create_state(cfg, seed=999))
+    )
+    assert got_step == 1 and restored.ema_params is None
+
+    got_step2, restored2 = mgr.restore_latest(
+        jax.device_get(train_mod.create_state(_ema_cfg(0.5), seed=999))
+    )
+    mgr.close()
+    assert got_step2 == 1 and restored2.ema_params is not None
+    for a, b in zip(
+        jax.tree.leaves(jax.device_get(state.params)),
+        jax.tree.leaves(restored2.ema_params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
