@@ -7,6 +7,13 @@ env var is not enough — the config must be updated before backends initialize
 (they init lazily on first device use)."""
 
 import os
+import sys
+
+# Make `sstts` (and tests/ helper modules) importable regardless of the
+# invocation directory — the package is not pip-installed in this image,
+# so bare `pytest` from another cwd otherwise fails at collection
+# (round-4 advisor finding).
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 

@@ -6,6 +6,8 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # whole module is in the <5 min smoke tier
+
 from sstts.config import Config, DatasetConfig
 from sstts.dsp import griffin_lim as gl
 from sstts.dsp import ops

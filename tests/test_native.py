@@ -3,6 +3,8 @@
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.fast  # whole module is in the <5 min smoke tier
+
 from sstts.data import native_loader, wav as wav_mod
 from sstts.dsp import reference as ref
 

@@ -28,6 +28,7 @@ def synth():
     return cfg, Synthesizer(cfg, state.params, state.batch_stats)
 
 
+@pytest.mark.fast
 def test_synthesize_single(synth):
     cfg, s = synth
     wav = s.synthesize("hello world")
@@ -335,6 +336,7 @@ def test_decoder_impl_resolution(synth):
         Synthesizer(luong, state.params, state.batch_stats)
 
 
+@pytest.mark.fast
 def test_mulaw_wire_roundtrip():
     """Device mu-law encode -> host decode: ~38 dB SNR on speech-scale audio."""
     import jax.numpy as jnp
@@ -357,6 +359,7 @@ def test_mulaw_wire_roundtrip():
     assert snr > 32.0, snr
 
 
+@pytest.mark.fast
 def test_adpcm4_wire_roundtrip():
     """Device adpcm4 encode -> host (cumsum) decode at ~0.52 B/sample
     (quarter of PCM16, half of mu-law).  SNR is content-dependent for
@@ -400,6 +403,7 @@ def test_adpcm4_wire_roundtrip():
     assert snr > 27.0, snr
 
 
+@pytest.mark.fast
 def test_adpcm3_wire_roundtrip():
     """Device adpcm3 encode -> host decode at ~0.39 B/sample (the adpcm4
     codec minus one quantizer bit, ~6 dB).  Same worst-face noise-heavy

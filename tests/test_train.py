@@ -14,7 +14,7 @@ import pytest
 
 from sstts import train as train_mod
 from sstts.parallel.mesh import batch_sharding, make_mesh
-from tests.train_helpers import _cfg, _one_batch
+from train_helpers import _cfg, _one_batch  # pytest puts tests/ on sys.path
 
 
 def test_media_wav_cache_keyed_by_config():
@@ -55,6 +55,7 @@ def test_media_wav_cache_keyed_by_config():
     assert not np.array_equal(logger.audio[1], logger.audio[2])
 
 
+@pytest.mark.fast
 def test_overfit_single_batch():
     """Loss must drop sharply when training repeatedly on one batch."""
     cfg = _cfg()

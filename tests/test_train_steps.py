@@ -15,9 +15,10 @@ import pytest
 
 from sstts import train as train_mod
 from sstts.data.synthetic import make_utterances
-from tests.train_helpers import _cfg, _one_batch
+from train_helpers import _cfg, _one_batch  # pytest puts tests/ on sys.path
 
 
+@pytest.mark.fast
 def test_device_corpus_cached_step_matches_host_step():
     """On-device batch gather (HBM-resident corpus) must reproduce the
     host-fed train step exactly, and valid=0 rows must zero the loss."""
