@@ -67,6 +67,7 @@ def main() -> int:
     from sstts.config import Config
     from sstts.data import pipeline as pm
     from sstts.data import text as text_mod
+    from sstts.dsp.metrics import mcd_from_normalized_mel
     from sstts.dsp.ops import wav_to_features
     from sstts.synthesize import Synthesizer
     from sstts.train import create_state, load_corpus
@@ -163,6 +164,7 @@ def main() -> int:
             wavs = synth.synthesize_batch(texts)
             mels = audio_mels(wavs)
             l1s = []
+            mcds = []
             for i in range(len(utts)):
                 n = min(
                     int(batch["loss_frames"][i]),
@@ -173,14 +175,25 @@ def main() -> int:
                     l1s.append(
                         float(np.abs(mels[i, :n] - gt_mel[i, :n]).mean())
                     )
+                    # Valley-fill-robust companion metric (round 5):
+                    # cepstral truncation keeps the envelope, so codec
+                    # noise in the spectral valleys cannot lower it.
+                    mcds.append(
+                        mcd_from_normalized_mel(
+                            mels[i, :n], gt_mel[i, :n],
+                            min_level_db=ds.min_level_db,
+                        )
+                    )
             res = {
                 "wire_format": wf,
                 "audio_mel_l1_vs_gt": round(float(np.mean(l1s)), 5),
+                "audio_mcd_db_vs_gt": round(float(np.mean(mcds)), 4),
                 "utterances": len(l1s),
             }
             results.append(res)
             print(json.dumps(res), flush=True)
         base = results[0]["audio_mel_l1_vs_gt"]
+        mcd_base = results[0]["audio_mcd_db_vs_gt"]
         for res in results[1:]:
             ratio = res["audio_mel_l1_vs_gt"] / base
             verdict = "PASS" if ratio <= 1.05 else "fail"
@@ -191,9 +204,13 @@ def main() -> int:
                 if ratio < 0.95
                 else ""
             )
+            mcd_ratio = res["audio_mcd_db_vs_gt"] / mcd_base
+            mcd_verdict = "PASS" if mcd_ratio <= 1.05 else "fail"
             print(
                 f"wire={res['wire_format']}: {res['audio_mel_l1_vs_gt']:.5f} "
-                f"vs pcm16 {base:.5f} ({ratio:.3f}x) {verdict}{note}",
+                f"vs pcm16 {base:.5f} ({ratio:.3f}x) {verdict}{note}; "
+                f"MCD {res['audio_mcd_db_vs_gt']:.3f} vs {mcd_base:.3f} dB "
+                f"({mcd_ratio:.3f}x) {mcd_verdict}",
                 flush=True,
             )
         return 0
@@ -214,6 +231,7 @@ def main() -> int:
         )
         mels = audio_mels(wavs)
         l1s = []
+        mcds = []
         for i in range(len(utts)):
             gt_frames = int(batch["loss_frames"][i])
             gen_frames = min(
@@ -224,23 +242,35 @@ def main() -> int:
                 l1s.append(
                     float(np.abs(mels[i, :n] - gt_mel[i, :n]).mean())
                 )
+                mcds.append(
+                    mcd_from_normalized_mel(
+                        mels[i, :n], gt_mel[i, :n],
+                        min_level_db=ds.min_level_db,
+                    )
+                )
         res = {
             "gl_iters": iters,
             "gl_momentum": m,
             "audio_mel_l1_vs_gt": round(float(np.mean(l1s)), 5),
+            "audio_mcd_db_vs_gt": round(float(np.mean(mcds)), 4),
             "utterances": len(l1s),
         }
         results.append(res)
         print(json.dumps(res), flush=True)
 
     base = results[0]["audio_mel_l1_vs_gt"]
+    mcd_base = results[0]["audio_mcd_db_vs_gt"]
     for res in results[1:]:
         ratio = res["audio_mel_l1_vs_gt"] / base
         verdict = "PASS" if ratio <= 1.05 else "fail"
+        mcd_ratio = res["audio_mcd_db_vs_gt"] / mcd_base
+        mcd_verdict = "PASS" if mcd_ratio <= 1.05 else "fail"
         print(
             f"GL-{res['gl_iters']} m={res['gl_momentum']}: "
             f"{res['audio_mel_l1_vs_gt']:.5f} vs GL-60 classic {base:.5f} "
-            f"({ratio:.3f}x) {verdict}",
+            f"({ratio:.3f}x) {verdict}; "
+            f"MCD {res['audio_mcd_db_vs_gt']:.3f} vs {mcd_base:.3f} dB "
+            f"({mcd_ratio:.3f}x) {mcd_verdict}",
             flush=True,
         )
     return 0

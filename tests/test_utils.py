@@ -150,3 +150,114 @@ def test_evaluate_driver_writes_wavs_and_plots(tmp_path):
         assert len(list(outdir.glob("eval_*_mel.png"))) == len(wavs)
     except ImportError:
         pass
+
+
+# --- sstts.dsp.metrics (round-5 valley-fill-robust codec-gate metrics) ---
+
+
+def test_mcd_zero_on_identical_and_energy_offset():
+    """MCD drops c0, so identical mels AND a constant dB offset (pure
+    energy change) both measure 0 — it is a spectral-ENVELOPE metric."""
+    from sstts.dsp.metrics import mcd_db
+
+    rng = np.random.default_rng(0)
+    a = rng.random((50, 80)) * 60.0 - 80.0
+    assert mcd_db(a, a) == 0.0
+    assert abs(mcd_db(a, a + 7.5)) < 1e-9
+
+
+def test_mcd_calibration_single_cepstral_basis():
+    """A perturbation along one orthonormal DCT basis k<=13 of amplitude
+    `amp` (dB) must measure exactly amp/sqrt(2) (the dB-domain Kubichek
+    calibration derived in metrics.mcd_db)."""
+    from sstts.dsp.metrics import _dct2_rows, mcd_db
+
+    n_mels, amp, k = 80, 6.0, 3
+    base = np.zeros((10, n_mels))
+    basis = _dct2_rows(n_mels, 13)[k - 1]  # unit-norm row
+    pert = base + amp * basis[None, :]
+    np.testing.assert_allclose(
+        mcd_db(base, pert), amp / np.sqrt(2.0), rtol=1e-12
+    )
+
+
+def test_mcd_ignores_fine_structure_that_fools_mel_l1():
+    """The valley-fill failure mode: high-order ripple across the mel axis
+    (inter-harmonic fine structure) moves mel-L1 a lot but projects onto
+    cepstra beyond the truncation, leaving MCD ~0.  An envelope tilt of
+    the same L1 magnitude moves MCD — the metric separates the two."""
+    from sstts.dsp.metrics import _dct2_rows, mcd_db
+
+    n_mels = 80
+    base = np.zeros((20, n_mels))
+    ripple = 5.0 * _dct2_rows(n_mels, 40)[39][None, :]  # k=40 >> 13
+    tilt = 5.0 * _dct2_rows(n_mels, 2)[1][None, :]      # k=2 <= 13
+    l1_ripple = np.abs(ripple).mean()
+    l1_tilt = np.abs(tilt).mean()
+    assert l1_ripple > 0.5 * l1_tilt  # comparable mel-L1 footprints
+    assert mcd_db(base, base + ripple) < 1e-9
+    assert mcd_db(base, base + tilt) > 1.0
+
+
+def test_mcd_normalized_matches_db_domain():
+    """mcd_from_normalized_mel must equal mcd_db on the denormalized dB
+    arrays (normalize_decibel is affine; offsets cancel, scale -min_db)."""
+    from sstts.dsp.metrics import mcd_db, mcd_from_normalized_mel
+
+    rng = np.random.default_rng(1)
+    a = rng.random((30, 80))
+    b = rng.random((30, 80))
+    np.testing.assert_allclose(
+        mcd_from_normalized_mel(a, b, min_level_db=-100.0),
+        mcd_db(a * 100.0, b * 100.0),
+        rtol=1e-12,
+    )
+
+
+def test_spectral_snr_known_ratio():
+    from sstts.dsp.metrics import spectral_snr_db
+
+    rng = np.random.default_rng(2)
+    ref = rng.random((8, 100, 513)) + 0.5
+    err = rng.standard_normal(ref.shape) * 0.01
+    expect = 10 * np.log10((ref**2).mean() / (err**2).mean())
+    np.testing.assert_allclose(
+        spectral_snr_db(ref, ref + err), expect, rtol=1e-10
+    )
+    assert spectral_snr_db(ref, ref) > 200.0  # lossless guard
+
+
+def test_peak_masked_l1_excludes_valley_fill():
+    """Lifting the reference's spectral valleys (the codec valley-fill
+    mechanism) must not move the peak-masked metric at all, while a real
+    perturbation AT the peaks moves it one-for-one."""
+    from sstts.dsp.metrics import peak_masked_l1_db
+
+    frames, bins = 12, 200
+    ref = np.full((frames, bins), -60.0)
+    ref[:, ::10] = 0.0  # harmonic comb: peaks at 0 dB, valleys at -60
+    filled = ref.copy()
+    filled[ref < -30] = -40.0  # noise floor fills the valleys
+    assert peak_masked_l1_db(ref, filled) == 0.0
+    perturbed = ref.copy()
+    perturbed[:, ::10] += 1.0
+    np.testing.assert_allclose(peak_masked_l1_db(ref, perturbed), 1.0)
+
+
+def test_peak_masked_l1_excludes_silence_frames():
+    """Padding/silence frames (no genuine peak) must not contribute: a
+    fixed-step codec's idle noise floor there would otherwise dominate
+    the metric (observed in the round-5 gate smoke run: mu-law read 73x
+    worse purely from padded frames)."""
+    from sstts.dsp.metrics import peak_masked_l1_db
+
+    ref = np.full((10, 50), -100.0)
+    ref[:5, ::10] = 0.0  # first 5 frames voiced, rest silence
+    test = ref.copy()
+    test[5:] = -55.0  # codec idle noise in the silent frames only
+    assert peak_masked_l1_db(ref, test) == 0.0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="silence"):
+        peak_masked_l1_db(np.full((4, 8), -100.0), np.full((4, 8), -100.0),
+                          silence_db=-10.0)
