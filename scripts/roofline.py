@@ -31,16 +31,25 @@ Phases (SURVEY §6 / round-4 verdict ask #1):
 Usage: timeout 3600 python scripts/roofline.py [K] [--json PATH]
 Run alone on the host (CLAUDE.md: 1-core host, never two compile-heavy
 processes) and note the printed dispatch marker for window context.
+SSTTS_ROOFLINE_SMOKE=1 shrinks every shape and runs on CPU — a script
+correctness check only (utilization numbers are meaningless there).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+SMOKE = bool(os.environ.get("SSTTS_ROOFLINE_SMOKE"))
+if SMOKE:
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
 
 from scripts._common import timed  # noqa: E402
 
@@ -64,6 +73,9 @@ if "--json" in sys.argv:
 # Headline shapes (BASELINE config 2 / config 3).
 B_SYN, T_SYN = 32, 800          # synthesis: 32 x 10 s utterances
 B_TR, T_TR, L_TR = 32, 400, 128  # train step: config 3
+if SMOKE:
+    B_SYN, T_SYN = 2, 64
+    B_TR, T_TR, L_TR = 2, 40, 16
 N_FFT, HOP, WIN = 2048, 275, 1102
 H = N_FFT // 2 + 1              # 1025 linear bins
 R_SYN = B_SYN * T_SYN           # 25600 spectrogram rows
@@ -317,16 +329,19 @@ def main() -> None:
             v, i, False, method=Tacotron.encode, rngs={"dropout": r}
         )
     )(variables, jnp.asarray(ids), jax.random.PRNGKey(0))
-    S_DEC = 160
+    S_DEC = 8 if SMOKE else 160
 
     def chain_dec(m):
         acc = jnp.float32(0.0)
         for i in range(K):
             out = fused_decode(
-                state.params, m, mmask, S_DEC,
+                state.params["decoder_cell"], m, mmask, S_DEC,
                 n_mels=cfg.dataset.n_mels,
                 reduction=cfg.arch.reduction_factor,
-                stop_threshold=2.0, seed=i,
+                stop_threshold=2.0, seed=i, interpret=SMOKE,
+                # pltpu.prng_seed has no CPU-interpret lowering; serving
+                # behavior (dropout on) is measured on TPU only.
+                apply_dropout=not SMOKE,
             )
             s = jnp.sum(out["mel"]).astype(jnp.float32)
             acc = acc + s
