@@ -25,7 +25,14 @@ GL-60 + PCM16 wire (reference parity) and the fast preset
 (GL-25 @ m=0.99; wire stays PCM16 at b=1 — 219 KB is already sub-ms at
 production link rates, so sub-byte codecs buy nothing here).
 
+Measurement discipline: b=1 phases are sub-millisecond to few-ms, so the
+chained differentials use long chains (prepare x64, GL x32) with the
+empty-program baseline bracketed before AND after — the relay's per-call
+overhead drifts several ms between minutes, which at short chains can
+even produce negative differentials (observed during development at K=8).
+
 Usage: timeout 3600 python scripts/profile_b1_latency.py [K] [--json PATH]
+(K scales the single-call wall reps only; chain lengths are fixed.)
 """
 
 from __future__ import annotations
@@ -55,6 +62,8 @@ if "--json" in sys.argv:
 TEXT = "the quick brown fox jumps over the lazy dog near the river bank."
 MAX_STEPS = 80  # -> 400 frames = 5.0 s of audio at r=5, hop 12.5 ms
 PROD_LINK_GBPS = 8.0 * 1024**3  # PCIe-class host link for the projection
+K_PREP = 64  # prepare is ~0.5-1 ms at b=1
+K_GL = 32    # GL-25/60 is ~1-3 ms at b=1 x 400
 
 
 def main() -> None:
@@ -124,7 +133,7 @@ def main() -> None:
 
         def chain_prepare(i, r, s=s):
             acc = jnp.float32(0.0)
-            for k in range(K):
+            for k in range(K_PREP):
                 out = s._prepare_fn(s.variables, i, r, MAX_STEPS)
                 step_sum = jnp.sum(out["linear"]).astype(jnp.float32)
                 acc = acc + step_sum
@@ -133,29 +142,36 @@ def main() -> None:
 
         key = jax.random.PRNGKey(0)
         ids_j = jnp.asarray(ids)
-        t_base = timed("  baseline(ids)", jax.jit(lambda i, r: jnp.sum(i) * 2), ids_j, key)
-        t = timed(f"  prepare x{K}", jax.jit(chain_prepare), ids_j, key)
-        prep_ms = (t - t_base) / K
+        base_ids = jax.jit(lambda i, r: jnp.sum(i) * 2)
+        b1_ = timed("  baseline(ids)", base_ids, ids_j, key)
+        t = timed(f"  prepare x{K_PREP}", jax.jit(chain_prepare), ids_j, key,
+                  reps=3)
+        b2_ = timed("  baseline(ids)'", base_ids, ids_j, key)
+        prep_ms = (t - (b1_ + b2_) / 2) / K_PREP
 
-        # Griffin-Lim at b=1 x T.
+        # Full vocoder at b=1 x T: the real spectrogram_to_wav (denorm +
+        # power raise + GL loop + de-emphasis), as the serving program
+        # runs it — only the wire encode (a couple of elementwise ops)
+        # is outside.
         rng = np.random.default_rng(0)
-        mag = jnp.asarray(rng.random((1, T, n_fft // 2 + 1), np.float32) ** 2)
+        mag = jnp.asarray(
+            rng.random((1, T, n_fft // 2 + 1), np.float32).astype(np.float32)
+        )
 
-        def chain_gl(m):
+        def chain_gl(m, c=c):
             acc = jnp.float32(0.0)
-            for _ in range(K):
-                y = gl.griffin_lim(
-                    m, n_fft, hop, win, iters, length, momentum=mom,
-                    fft_impl="dft_default", iter_impl="semi",
-                ).astype(jnp.float32)
+            for _ in range(K_GL):
+                y = gl.spectrogram_to_wav(m, c, length).astype(jnp.float32)
                 ssum = jnp.sum(y)
                 acc = acc + ssum
                 m = m + (ssum * 1e-20).astype(m.dtype)
             return acc
 
-        t_base_m = timed("  baseline(mag)", jax.jit(lambda m: jnp.sum(m) * 2.0), mag)
-        t = timed(f"  gl x{K}", jax.jit(chain_gl), mag)
-        gl_ms = (t - t_base_m) / K
+        base_mag = jax.jit(lambda m: jnp.sum(m) * 2.0)
+        b1_ = timed("  baseline(mag)", base_mag, mag)
+        t = timed(f"  gl x{K_GL}", jax.jit(chain_gl), mag, reps=3)
+        b2_ = timed("  baseline(mag)'", base_mag, mag)
+        gl_ms = (t - (b1_ + b2_) / 2) / K_GL
 
         compute_ms = prep_ms + gl_ms
         prod_ms = compute_ms + wire_bytes / PROD_LINK_GBPS * 1e3

@@ -28,7 +28,16 @@ Phases (SURVEY §6 / round-4 verdict ask #1):
   model_fwd   full teacher-forced forward incl. loss (b=32 x 400)
   train_step  forward + backward + Adam (the config-3 step)
 
-Usage: timeout 3600 python scripts/roofline.py [K] [--json PATH]
+Measurement discipline: the relay's per-call overhead DRIFTS several ms
+between minutes (not just between sessions), so a chained differential is
+only trustworthy when the chain total dwarfs the drift — a K=4 chain of a
+0.4 ms GEMM produced a physically impossible 153%-of-peak reading during
+development (K=128 with bracketed baselines: a stable 90%).  Each phase
+therefore gets its own K targeting a >=40 ms chain, and the empty-program
+baseline is measured BEFORE AND AFTER each phase (mean used, drift
+printed).
+
+Usage: timeout 3600 python scripts/roofline.py [--json PATH]
 Run alone on the host (CLAUDE.md: 1-core host, never two compile-heavy
 processes) and note the printed dispatch marker for window context.
 SSTTS_ROOFLINE_SMOKE=1 shrinks every shape and runs on CPU — a script
@@ -62,10 +71,18 @@ PEAK_BF16_TFLOPS = 197.0
 PEAK_HBM_GBPS = 819.0
 RIDGE = PEAK_BF16_TFLOPS * 1e12 / (PEAK_HBM_GBPS * 1e9)  # ~241 FLOP/byte
 
-K = 4
-for a in sys.argv[1:]:
-    if a.isdigit():
-        K = int(a)
+# Per-phase chain lengths: small phases need long chains (see module
+# docstring); whole-GL calls are already 60-530 ms at K=4.
+PHASE_K = {
+    "gl_gemm": 128,
+    "gl_call": 4,
+    "ar_decode": 32,
+    "features": 16,
+    "model_fwd": 8,
+    "train_step": 8,
+}
+if SMOKE:
+    PHASE_K = {k: 2 for k in PHASE_K}
 JSON_PATH = None
 if "--json" in sys.argv:
     JSON_PATH = sys.argv[sys.argv.index("--json") + 1]
@@ -257,33 +274,48 @@ def main() -> None:
             flush=True,
         )
 
+    def measure(tag, chain_jit, base_jit, args, k, reps=3):
+        """Bracketed differential: base before AND after the chain (the
+        per-call overhead drifts several ms between minutes — module
+        docstring); per-application ms = (chain - mean(base)) / k."""
+        b1 = timed(f"{tag} base", base_jit, *args)
+        t = timed(f"{tag} x{k}", chain_jit, *args, reps=reps)
+        b2 = timed(f"{tag} base'", base_jit, *args)
+        if abs(b1 - b2) > 0.2 * max(t - (b1 + b2) / 2, 1e-9):
+            print(f"  [{tag}] WARNING: base drift {b1:.1f}->{b2:.1f} ms is "
+                  f">20% of the differential — treat with suspicion",
+                  flush=True)
+        return (t - (b1 + b2) / 2) / k
+
     # -- phase 1: one windowed rDFT analysis GEMM pass ------------------
     w_fwd = jax.random.normal(jax.random.PRNGKey(0), (WP, 2 * H), jnp.bfloat16)
     xw = jax.random.normal(jax.random.PRNGKey(1), (R_SYN, WP), jnp.bfloat16)
+    Kg = PHASE_K["gl_gemm"]
 
     def chain_gemm(x):
         acc = jnp.float32(0.0)
-        for _ in range(K):
+        for _ in range(Kg):
             s = jnp.dot(x, w_fwd, preferred_element_type=jnp.float32)
             r = jnp.sum(jnp.abs(s))
             acc = acc + r
             x = x * (1.0 + (r * 1e-20).astype(x.dtype))
         return acc
 
-    t_base_g = timed("baseline (gemm arg)", jax.jit(lambda v: jnp.sum(v) * 2.0), xw)
-    t = timed(f"gl_gemm x{K}", jax.jit(chain_gemm), xw)
+    per = measure("gl_gemm", jax.jit(chain_gemm),
+                  jax.jit(lambda v: jnp.sum(v) * 2.0), (xw,), Kg)
     f_, b_ = model_gl_gemm()
-    record("gl_gemm", (t - t_base_g) / K, f_, b_,
+    record("gl_gemm", per, f_, b_,
            "one analysis DFT pass; synthesis pass is the same shape")
 
     # -- phases 2-3: whole GL calls, fixed + per-iter -------------------
     mag = jnp.asarray(rng.random((B_SYN, T_SYN, H), np.float32) ** 2)
     length = (T_SYN - 1) * HOP
+    Kc = PHASE_K["gl_call"]
 
     def gl_chain(iters, mom):
         def f(m):
             acc = jnp.float32(0.0)
-            for _ in range(K):
+            for _ in range(Kc):
                 y = gl.griffin_lim(
                     m, N_FFT, HOP, WIN, iters, length, momentum=mom,
                     fft_impl="dft_default", iter_impl="semi",
@@ -294,14 +326,13 @@ def main() -> None:
             return acc
         return jax.jit(f)
 
-    t_base = timed("baseline (mag arg)", jax.jit(lambda m: jnp.sum(m) * 2.0), mag)
+    base_mag = jax.jit(lambda m: jnp.sum(m) * 2.0)
     gl_ms = {}
     for tag, iters, mom in (
         ("gl0_m0", 0, 0.0), ("gl60_m0", 60, 0.0),
         ("gl0_m99", 0, 0.99), ("gl25_m99", 25, 0.99),
     ):
-        tt = timed(f"{tag} x{K}", gl_chain(iters, mom), mag)
-        gl_ms[tag] = (tt - t_base) / K
+        gl_ms[tag] = measure(tag, gl_chain(iters, mom), base_mag, (mag,), Kc)
 
     per_iter_0 = (gl_ms["gl60_m0"] - gl_ms["gl0_m0"]) / 60
     per_iter_99 = (gl_ms["gl25_m99"] - gl_ms["gl0_m99"]) / 25
@@ -330,10 +361,11 @@ def main() -> None:
         )
     )(variables, jnp.asarray(ids), jax.random.PRNGKey(0))
     S_DEC = 8 if SMOKE else 160
+    Kd = PHASE_K["ar_decode"]
 
     def chain_dec(m):
         acc = jnp.float32(0.0)
-        for i in range(K):
+        for i in range(Kd):
             out = fused_decode(
                 state.params["decoder_cell"], m, mmask, S_DEC,
                 n_mels=cfg.dataset.n_mels,
@@ -348,10 +380,10 @@ def main() -> None:
             m = m + (s * 1e-12).astype(m.dtype)
         return acc
 
-    t_base_m = timed("baseline (memory arg)", jax.jit(lambda m: jnp.sum(m) * 2.0), memory)
-    t = timed(f"ar_decode x{K}", jax.jit(chain_dec), memory)
+    per = measure("ar_decode", jax.jit(chain_dec),
+                  jax.jit(lambda m: jnp.sum(m) * 2.0), (memory,), Kd)
     f_, b_ = model_ar_decode(state.params, S_DEC)
-    record("ar_decode", (t - t_base_m) / K, f_, b_,
+    record("ar_decode", per, f_, b_,
            f"{S_DEC} sequential steps: latency-bound, see table note")
 
     # -- phases 5-7: train-side -----------------------------------------
@@ -372,19 +404,22 @@ def main() -> None:
     frame_mask = frame_mask_from_lengths(batch["n_frames"], mel_gt.shape[1])
     key = jax.random.PRNGKey(0)
 
+    Kf = PHASE_K["features"]
+
     def chain_feat(s):
         acc = jnp.float32(0.0)
-        for _ in range(K):
+        for _ in range(Kf):
             lin, mel = wav_to_features(s, cfg.dataset)
             r = jnp.sum(mel)
             acc = acc + r
             s = s + r * 1e-12
         return acc
 
-    t_base_s = timed("baseline (samples arg)", jax.jit(lambda s: jnp.sum(s) * 2.0), samples_f)
-    t = timed(f"features x{K}", jax.jit(chain_feat), samples_f)
+    base_samples = jax.jit(lambda s, *a: jnp.sum(s) * 2.0)
+    per = measure("features", jax.jit(chain_feat), base_samples,
+                  (samples_f,), Kf)
     f_, b_ = model_features()
-    record("features", (t - t_base_s) / K, f_, b_,
+    record("features", per, f_, b_,
            "XLA-FFT STFT + mel GEMM; FLOP-equivalent model")
 
     S_TR = T_TR // cfg.arch.reduction_factor
@@ -397,9 +432,11 @@ def main() -> None:
         + B_TR * n_samples * 4
     )
 
+    Kw = PHASE_K["model_fwd"]
+
     def chain_fwd(s, r):
         acc = jnp.float32(0.0)
-        for i in range(K):
+        for i in range(Kw):
             out, _ = model.apply(
                 variables, batch["char_ids"],
                 wav_to_features(s, cfg.dataset)[1], frame_mask, True,
@@ -414,38 +451,44 @@ def main() -> None:
             s = s + (loss * 1e-12).astype(s.dtype)
         return acc
 
-    t = timed(f"model_fwd x{K}", jax.jit(chain_fwd), samples_f, key)
+    per = measure("model_fwd", jax.jit(chain_fwd), base_samples,
+                  (samples_f, key), Kw)
     feat_f, feat_b = model_features()
-    record("model_fwd", (t - t_base_s) / K, fwd_flops + feat_f,
+    record("model_fwd", per, fwd_flops + feat_f,
            int(fwd_bytes) + feat_b,
            "teacher-forced forward incl. features + loss")
     fwd_ms = results["model_fwd"]["ms"]
 
     step_body = _make_step_body(cfg)
+    Ks = PHASE_K["train_step"]
 
     def chain_step(st, b):
         acc = jnp.float32(0.0)
-        for _ in range(K):
+        for _ in range(Ks):
             st, metrics = step_body(st, b)
             acc = acc + metrics["loss"]
         return acc
 
-    t = timed(f"train_step x{K}", jax.jit(chain_step), state, batch)
+    per = measure(
+        "train_step", jax.jit(chain_step),
+        jax.jit(lambda st, b: jnp.sum(b["samples"]).astype(jnp.float32)),
+        (state, batch), Ks,
+    )
     # fwd + bwd ~= 3x matmul FLOPs (grad wrt inputs + weights) + Adam
     # elementwise (~10 FLOPs/param); bytes: params/grads/moments system
     # (4 reads + 3 writes of 7.03 M f32) + fwd IO + saved activations.
     step_flops = 3 * fwd_flops + feat_f + 10 * 7.03e6
     step_bytes = int(fwd_bytes) + feat_b + 7 * 7.03e6 * 4
-    record("train_step", (t - t_base_s) / K, int(step_flops), step_bytes,
-           f"fwd {fwd_ms:.1f} ms + bwd/adam "
-           f"{(t - t_base_s)/K - fwd_ms:.1f} ms; activations extra")
+    record("train_step", per, int(step_flops), step_bytes,
+           f"fwd {fwd_ms:.1f} ms + bwd/adam {per - fwd_ms:.1f} ms; "
+           "activations extra")
 
     # ------------------------------------------------------------ output
     print("\nRidge point: %.0f FLOP/byte; marker %.1f ms" % (RIDGE, marker))
     out = {
         "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         "marker_ms": round(marker, 1),
-        "chained_k": K,
+        "chained_k": PHASE_K,
         "peaks": {"bf16_tflops": PEAK_BF16_TFLOPS, "hbm_gbps": PEAK_HBM_GBPS},
         "phases": results,
     }
