@@ -57,6 +57,9 @@ def main() -> int:
                     help="corpus size the checkpoint was trained with")
     ap.add_argument("--wire", action="store_true",
                     help="A/B wire codecs instead of GL configs")
+    ap.add_argument("--reduction-factor", type=int, default=5,
+                    help="must match the checkpoint's training config "
+                    "(the fingerprint rejects a mismatch)")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +80,10 @@ def main() -> int:
         dataset=dataclasses.replace(
             cfg.dataset, dataset="synthetic", synthetic_size=args.utterances
         ),
-        arch=dataclasses.replace(cfg.arch, guided_attention_weight=1.0),
+        arch=dataclasses.replace(
+            cfg.arch, guided_attention_weight=1.0,
+            reduction_factor=args.reduction_factor,
+        ),
     )
 
     # Ground truth: eval-split utterances, featurized on device (same path

@@ -601,11 +601,16 @@ def _skip_epoch_steps(ops, n_steps: int):
 
     Used on resume to fast-forward the restored mid-epoch position so the
     data order continues where the interrupted run stopped instead of
-    replaying the epoch from its start.  Checkpoints land on op boundaries
-    (the save cadence fires between ops), so `n_steps` normally aligns; if
-    a boundary mismatch ever occurs (e.g. a checkpoint written by an older
-    grouping config) the op straddling the boundary is skipped whole — a
-    few rows go unseen this epoch rather than double-trained."""
+    replaying the epoch from its start.  A resume offset routinely lands
+    INSIDE a grouped op: a stage boundary lands exactly on max_steps
+    because `_clamp_grouped_ops` decomposes the budget tail into singles,
+    while the regenerated epoch stream is unclamped.  The straddling
+    grouped op is split and its un-run tail re-emitted as single-step
+    ops, so the resumed run trains exactly the batches the interrupted
+    run did not.  (Round-5 fix — the earlier skip-whole-op fallback could
+    consume the entire epoch when the straddling op was the epoch's last,
+    false-tripping the zero-batch corpus check: observed resuming the
+    r=2 flagship at step 100000 = epoch 1086 x 92 + 88 with S=8.)"""
     consumed = 0
     for op in ops:
         if consumed >= n_steps:
@@ -614,11 +619,16 @@ def _skip_epoch_steps(ops, n_steps: int):
         ns = len(op[2]) if op[0] == "grouped" else 1
         consumed += ns
         if consumed > n_steps:
+            # Only a grouped op (ns > 1) can straddle the offset.
+            tail = consumed - n_steps
+            _, bucket, idxs, valids = op
             print(
-                f"[warn] resume skip crossed an op boundary (skipped "
-                f"{consumed} steps for a {n_steps}-step offset)",
+                f"[resume] grouped op straddles the resume offset: "
+                f"re-emitting {tail} of its {ns} steps as singles",
                 flush=True,
             )
+            for i in range(ns - tail, ns):
+                yield ("single", bucket, idxs[i], valids[i])
 
 
 @lru_cache(maxsize=None)
@@ -913,6 +923,7 @@ def _train_loop(
                 ("host", None, batch, None)
                 for _, batch in _prefetch_to_device(ep, data_shard)
             )
+        was_resume_epoch = skip_steps > 0
         skip_steps = 0
         for op in ops:
             epoch_batches += 1
@@ -950,7 +961,10 @@ def _train_loop(
                 ckpt.save(step, state)
             if step >= max_steps:
                 break
-        if epoch_batches == 0:
+        if epoch_batches == 0 and not was_resume_epoch:
+            # A resume-skip epoch can legitimately be (nearly) consumed by
+            # the fast-forward; only a FRESH epoch yielding nothing means
+            # the corpus/buckets are broken.
             raise ValueError(
                 "the epoch produced zero batches: every utterance exceeded "
                 "the configured buckets (text_buckets/frame_buckets) or the "

@@ -557,3 +557,32 @@ def test_ema_restore_pre_field_checkpoint(tmp_path):
         jax.tree.leaves(restored2.ema_params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_resume_skip_splits_straddling_grouped_op():
+    """A resume offset landing inside a grouped op must re-emit the
+    un-run tail as singles — exact-step resume, no rows dropped.  The
+    old skip-whole-op fallback consumed the entire epoch when the
+    straddling op was the epoch's LAST op (observed resuming the r=2
+    flagship at step 100000 = epoch x 92 + 88 with steps_per_call=8) and
+    false-tripped the zero-batch corpus check."""
+    idxs = np.arange(8, dtype=np.int32).reshape(8, 1)
+    valids = np.ones((8, 1), np.float32)
+    ops = [
+        ("single", 16, np.array([9], np.int32), np.array([1.0], np.float32)),
+        ("grouped", 16, idxs, valids),
+    ]
+    # Offset 5 lands inside the grouped op (1 single + 4 of the group).
+    out = list(train_mod._skip_epoch_steps(iter(ops), 5))
+    assert [o[0] for o in out] == ["single"] * 4
+    np.testing.assert_array_equal(
+        np.concatenate([o[2] for o in out]), idxs[4:].reshape(-1)
+    )
+    # Offset on a boundary: everything after yields untouched.
+    out = list(train_mod._skip_epoch_steps(iter(ops), 1))
+    assert [o[0] for o in out] == ["grouped"]
+    # Offset consuming the whole epoch tail via a straddle still yields
+    # the final steps (the regression: this used to yield nothing).
+    out = list(train_mod._skip_epoch_steps(iter(ops), 8))
+    assert [o[0] for o in out] == ["single"]
+    assert int(out[0][2][0]) == 7
