@@ -162,7 +162,7 @@ def main() -> int:
             texts, full_output=True, fetch=("wav", "n_frames", "n_samples")
         )
         results = []
-        for wf in ("pcm16", "mulaw8", "adpcm4", "adpcm3"):
+        for wf in ("pcm16", "mulaw8", "adpcm4", "adpcm3", "adpcm2"):
             c = cfg.replace(
                 inference=dataclasses.replace(cfg.inference, wire_format=wf)
             )

@@ -50,7 +50,7 @@ _ap.add_argument("N", nargs="?", type=int, default=8)
 _ap.add_argument("T", nargs="?", type=int, default=800)
 _args = _ap.parse_args()
 
-CODECS = ("pcm16", "mulaw8", "adpcm4", "adpcm3")
+CODECS = ("pcm16", "mulaw8", "adpcm4", "adpcm3", "adpcm2")
 
 #: The codec's spectral error (on the waveform it transports) must be at
 #: least this many dB smaller than Griffin-Lim's own reconstruction error
@@ -91,6 +91,11 @@ def _wire_roundtrip_host(codec: str, wav_dev, n: int):
         rows = np.asarray(jax.jit(ops.adpcm3_encode_wire)(wav_dev))
         return np.stack(
             [ops.adpcm3_decode_host(rows[i], n) for i in range(rows.shape[0])]
+        ), rows.nbytes
+    if codec == "adpcm2":
+        rows = np.asarray(jax.jit(ops.adpcm2_encode_wire)(wav_dev))
+        return np.stack(
+            [ops.adpcm2_decode_host(rows[i], n) for i in range(rows.shape[0])]
         ), rows.nbytes
     raise ValueError(codec)
 

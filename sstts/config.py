@@ -344,10 +344,15 @@ class InferenceConfig:
     #: above the Griffin-Lim quality floor), or "adpcm4" (4-bit
     #: block-adaptive linear DPCM, ~0.52 B/sample — quarter of PCM16;
     #: ~37 dB SNR on corpus speech and mel-L1-invisible under the
-    #: Griffin-Lim floor, `scripts/wire_codec_gate.py`), or "adpcm3"
+    #: Griffin-Lim floor, `scripts/wire_codec_gate.py`), "adpcm3"
     #: (the same DPCM at 3 bits, ~0.39 B/sample — for when the wire binds
-    #: even at adpcm4; quality-gate before serving with it).  Never
-    #: affects `full_output` float32 audio.
+    #: even at adpcm4; quality-gate before serving with it), or "adpcm2"
+    #: (2 bits on a mid-rise lattice, ~0.27 B/sample — functional and
+    #: tested but NOT serving-admitted: it FAILED the copy-synthesis
+    #: mel-L1 gate at 1.29x of the lossless wire, the first codec whose
+    #: noise is visible above the Griffin-Lim floor — BASELINE.md
+    #: round-5 gate record; excluded from bench.py's auto-tune queue).
+    #: Never affects `full_output` float32 audio.
     wire_format: str = "pcm16"
     #: Serve/evaluate from the checkpoint's EMA (Polyak-averaged)
     #: parameters instead of the raw ones (requires a checkpoint trained

@@ -190,13 +190,21 @@ def mulaw_decode_host(u8: np.ndarray, mu: float = 255.0) -> np.ndarray:
 ADPCM_BLOCK = 256
 
 
-def _dpcm_quantize_blocks(y, q_lo, q_hi, levels):
+def _dpcm_quantize_blocks(y, q_lo, q_hi, levels, offset=0.0):
     """Shared block-adaptive feedback-DPCM quantizer (device, lax.scan).
 
     [-1, 1] audio (B, n) -> (codes (B, nb, block) uint8 offset by -q_lo
     with dummy slot 0, scale (B, nb) f16, seeds (B, nb) i16).  `levels` is
     the positive-side step count the per-block scale divides by (7 for
-    4-bit [-8, 7], 3 for 3-bit [-4, 3]).
+    4-bit [-8, 7], 3 for 3-bit [-4, 3], 1.5 for the 2-bit mid-rise).
+
+    `offset` selects the reconstruction lattice: 0.0 = mid-tread (a zero
+    step exists; the 4- and 3-bit codecs), 0.5 = mid-rise (steps at
+    (q+0.5)*scale, no zero — at 2 bits the four mid-rise levels
+    {-1.5, -0.5, +0.5, +1.5}*scale measured +3.5 dB over the mid-tread
+    {-2..1} mapping on corpus speech, 23.9 vs 20.4 dB, 2026-08-21,
+    because mid-tread wastes one of only four codes on the asymmetric
+    -2 extreme).
     """
     block = ADPCM_BLOCK
     bsz, n = y.shape
@@ -217,8 +225,10 @@ def _dpcm_quantize_blocks(y, q_lo, q_hi, levels):
     scale_f = scale.astype(jnp.float32)
 
     def step(rec, u_t):
-        q = jnp.clip(jnp.round((u_t - rec) / scale_f), q_lo, q_hi)
-        return rec + q * scale_f, q
+        q = jnp.clip(
+            jnp.round((u_t - rec) / scale_f - offset), q_lo, q_hi
+        )
+        return rec + (q + offset) * scale_f, q
 
     # scan over the 255 in-block positions; every (batch, block) pair rides
     # in the lanes.  xs: (block-1, B, nb).
@@ -420,6 +430,105 @@ def adpcm3_wire_bytes(n_samples: int) -> int:
     """Wire row width (bytes) produced by `adpcm3_encode_wire` for n samples."""
     nb = -(-n_samples // ADPCM_BLOCK)
     return nb * (ADPCM_BLOCK * 3 // 8 + 4)
+
+
+def adpcm2_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
+    """[-1, 1] audio (B, n) -> uint8 wire rows (B, 68 * ceil(n/256)).
+
+    Block-adaptive 2-bit feedback DPCM (0.266 B/sample — 1.5x fewer bytes
+    than adpcm3, 7.5x fewer than PCM16).  Unlike the 4/3-bit codecs this
+    one is MID-RISE: stored codes {0..3} reconstruct as
+    (code - 1.5) * scale with scale = max|delta|/1.5 — see the
+    `_dpcm_quantize_blocks` offset note for the measured +3.5 dB over the
+    mid-tread mapping.  Expected ~24 dB on corpus speech (~6 dB below
+    adpcm3, one quantizer bit); admission is decided by the numeric gates
+    (`scripts/wire_codec_gate.py`: spectral SNR >= GL floor + 10 dB,
+    peak-spectral <= 1.02x lossless).  Four codes pack per byte.
+    Inverse: `adpcm2_decode_host`.
+    """
+    block = ADPCM_BLOCK
+    bsz, n = y.shape
+    nb = -(-n // block)
+    codes, scale, seeds_i16 = _dpcm_quantize_blocks(
+        y, -2.0, 1.0, 1.5, offset=0.5
+    )
+    c = codes.reshape(bsz, nb, block // 4, 4)
+    packed = (
+        c[..., 0] | (c[..., 1] << 2) | (c[..., 2] << 4) | (c[..., 3] << 6)
+    )  # (B, nb, 64)
+    scale_u8 = jax.lax.bitcast_convert_type(scale, jnp.uint8)  # (B, nb, 2)
+    seed_u8 = jax.lax.bitcast_convert_type(seeds_i16, jnp.uint8)  # (B, nb, 2)
+    return jnp.concatenate(
+        [
+            packed.reshape(bsz, nb * (block // 4)),
+            scale_u8.reshape(bsz, nb * 2),
+            seed_u8.reshape(bsz, nb * 2),
+        ],
+        axis=1,
+    )
+
+
+def adpcm2_decode_host_rows(rows: np.ndarray) -> np.ndarray:
+    """Host-side inverse of `adpcm2_encode_wire` -> (B, n_pad) float32.
+
+    Native C++ when available, numpy fallback/oracle — see
+    `adpcm4_decode_host_rows`.
+    """
+    from sstts.data import native_loader
+
+    dec = native_loader.adpcm_decode_rows(rows, 2)
+    if dec is not None:
+        return dec
+    return _adpcm2_decode_rows_np(rows)
+
+
+def _adpcm2_decode_rows_np(rows: np.ndarray) -> np.ndarray:
+    """Numpy (vectorized) inverse of `adpcm2_encode_wire`.
+
+    Same telescoped-cumsum structure as `_adpcm4_decode_rows_np`; the
+    mid-rise offset folds into the summand ((code - 1.5) * scale)."""
+    block = ADPCM_BLOCK
+    rows = np.ascontiguousarray(np.atleast_2d(np.asarray(rows, np.uint8)))
+    bsz = rows.shape[0]
+    per_block = block // 4 + 4
+    nb = rows.shape[1] // per_block
+    npk = nb * (block // 4)
+    packed = rows[:, :npk].reshape(bsz, nb, block // 4)
+    scales = (
+        rows[:, npk : npk + 2 * nb]
+        .reshape(-1)
+        .view(np.float16)
+        .astype(np.float32)
+        .reshape(bsz, nb, 1)
+    )
+    seeds = (
+        rows[:, npk + 2 * nb :]
+        .reshape(-1)
+        .view(np.int16)
+        .astype(np.float32)
+        .reshape(bsz, nb, 1)
+        / 32767.0
+    )
+    codes = np.empty((bsz, nb, block), np.float32)
+    codes[..., 0::4] = packed & 3
+    codes[..., 1::4] = (packed >> 2) & 3
+    codes[..., 2::4] = (packed >> 4) & 3
+    codes[..., 3::4] = packed >> 6
+    q = codes - 1.5
+    q[..., 0] = 0.0  # dummy slot; sample 0 is the seed itself
+    y = seeds + np.cumsum(q * scales, axis=-1)
+    return y.reshape(bsz, nb * block).astype(np.float32)
+
+
+def adpcm2_decode_host(row: np.ndarray, n_samples: int) -> np.ndarray:
+    """Single-utterance convenience wrapper of `adpcm2_decode_host_rows`."""
+    return adpcm2_decode_host_rows(row[None])[0, :n_samples]
+
+
+def adpcm2_wire_bytes(n_samples: int) -> int:
+    """Wire row width (bytes) produced by `adpcm2_encode_wire` for n samples."""
+    nb = -(-n_samples // ADPCM_BLOCK)
+    return nb * (ADPCM_BLOCK // 4 + 4)
 
 
 def _stft_magnitude_dft(

@@ -191,11 +191,14 @@ float half_to_float(uint16_t h) {
 void adpcm_decode_row(const uint8_t* row, int64_t nb, int32_t bits,
                       float* out) {
   const int64_t block = 256;
-  const int64_t packed_per_block = block * bits / 8;  // 128 (4b) / 96 (3b)
+  const int64_t packed_per_block = block * bits / 8;  // 128/96/64 (4/3/2b)
   const uint8_t* packed = row;
   const uint8_t* scale_b = row + nb * packed_per_block;
   const uint8_t* seed_b = scale_b + nb * 2;
-  const float offset = bits == 4 ? 8.0f : 4.0f;
+  // 4/3-bit are mid-tread (integer lattice, offset = -q_lo); 2-bit is
+  // mid-rise: stored codes {0..3} reconstruct as (code - 1.5) * scale
+  // (sstts/dsp/ops.py adpcm2_encode_wire).
+  const float offset = bits == 4 ? 8.0f : (bits == 3 ? 4.0f : 1.5f);
   for (int64_t b = 0; b < nb; ++b) {
     uint16_t sh = (uint16_t)scale_b[2 * b] | ((uint16_t)scale_b[2 * b + 1] << 8);
     float scale = half_to_float(sh);
@@ -209,6 +212,14 @@ void adpcm_decode_row(const uint8_t* row, int64_t nb, int32_t bits,
       for (int64_t i = 1; i < block; ++i) {
         uint8_t byte = pb[i >> 1];
         float c = (float)((i & 1) ? (byte >> 4) : (byte & 15));
+        acc += (c - offset) * scale;
+        o[i] = acc;
+      }
+    } else if (bits == 2) {  // 2-bit: 4 codes per byte, little-endian
+      const uint8_t* pb = packed + b * packed_per_block;
+      for (int64_t i = 1; i < block; ++i) {
+        uint8_t byte = pb[i >> 2];
+        float c = (float)((byte >> ((i & 3) * 2)) & 3);
         acc += (c - offset) * scale;
         o[i] = acc;
       }

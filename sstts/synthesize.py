@@ -62,11 +62,11 @@ class Synthesizer:
         if partition not in ("gspmd", "shard_map"):
             raise ValueError(f"unknown partition mode: {partition!r}")
         if cfg.inference.wire_format not in (
-            "pcm16", "mulaw8", "adpcm4", "adpcm3"
+            "pcm16", "mulaw8", "adpcm4", "adpcm3", "adpcm2"
         ):
             raise ValueError(
                 f"unknown wire_format {cfg.inference.wire_format!r}; "
-                "expected 'pcm16', 'mulaw8', 'adpcm4' or 'adpcm3'"
+                "expected 'pcm16', 'mulaw8', 'adpcm4', 'adpcm3' or 'adpcm2'"
             )
         # One flag governs every Pallas path: GSPMD partitions a global
         # program from sharding annotations but cannot shard an opaque
@@ -352,6 +352,11 @@ class Synthesizer:
 
             # ~0.39 B/sample: the same DPCM at 3 bits/delta.
             wire = adpcm3_encode_wire(wav)
+        elif cfg.inference.wire_format == "adpcm2":
+            from sstts.dsp.ops import adpcm2_encode_wire
+
+            # ~0.27 B/sample: 2 bits/delta, mid-rise lattice.
+            wire = adpcm2_encode_wire(wav)
         else:
             wire = jnp.round(
                 jnp.clip(wav, -1.0, 1.0) * 32767.0
@@ -488,6 +493,10 @@ class Synthesizer:
             from sstts.dsp.ops import adpcm3_decode_host_rows
 
             return adpcm3_decode_host_rows(wire)
+        if self.cfg.inference.wire_format == "adpcm2":
+            from sstts.dsp.ops import adpcm2_decode_host_rows
+
+            return adpcm2_decode_host_rows(wire)
         return wire.astype(np.float32) * (1.0 / 32767.0)
 
     def _fetch_decoded(self, out) -> np.ndarray:

@@ -93,6 +93,7 @@ def test_native_adpcm_decode_matches_numpy():
         for bits, enc, dec_np in (
             (4, ops.adpcm4_encode_wire, ops._adpcm4_decode_rows_np),
             (3, ops.adpcm3_encode_wire, ops._adpcm3_decode_rows_np),
+            (2, ops.adpcm2_encode_wire, ops._adpcm2_decode_rows_np),
         ):
             rows = np.asarray(enc(wd))
             want = dec_np(rows)
@@ -118,6 +119,8 @@ def test_adpcm_public_decode_dispatches():
          ops._adpcm4_decode_rows_np),
         (ops.adpcm3_encode_wire, ops.adpcm3_decode_host_rows,
          ops._adpcm3_decode_rows_np),
+        (ops.adpcm2_encode_wire, ops.adpcm2_decode_host_rows,
+         ops._adpcm2_decode_rows_np),
     ):
         rows = np.asarray(enc(wd))
         np.testing.assert_allclose(

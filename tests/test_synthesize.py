@@ -514,3 +514,65 @@ def test_mulaw_wire_format_synthesis(synth):
             state.params,
             state.batch_stats,
         )
+
+
+@pytest.mark.fast
+def test_adpcm2_wire_roundtrip():
+    """Device adpcm2 encode -> host decode at ~0.27 B/sample (2 bits on a
+    mid-rise lattice — see the `_dpcm_quantize_blocks` offset note).  One
+    quantizer bit below adpcm3 costs ~6 dB: same worst-case mix, bound
+    dropped accordingly.  Serving admission is decided by the numeric
+    gates in scripts/wire_codec_gate.py."""
+    import jax.numpy as jnp
+
+    from sstts.dsp.ops import (
+        adpcm2_decode_host,
+        adpcm2_encode_wire,
+        adpcm2_wire_bytes,
+    )
+
+    rng = np.random.default_rng(0)
+    n = 8000
+    t = np.arange(n) / 8000.0
+    y = (
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 730 * t)
+        + 0.05 * np.sin(2 * np.pi * 2900 * t)
+        + 0.02 * rng.standard_normal(n)
+    ).astype(np.float32)
+    y = np.clip(y, -1, 1)
+    for amp in (1.0, 0.05, 0.002):  # block scales are f16: level-invariant
+        x = (amp * y).astype(np.float32)
+        wire = np.asarray(adpcm2_encode_wire(jnp.asarray(x[None, :])))
+        assert wire.dtype == np.uint8
+        assert wire.shape == (1, adpcm2_wire_bytes(n))
+        back = adpcm2_decode_host(wire[0], n)
+        snr = 10 * np.log10(np.mean(x**2) / np.mean((back - x) ** 2))
+        assert snr > 14.0, (amp, snr)
+    # Non-block-multiple length: padding must not corrupt the kept samples.
+    x = y[:1000]
+    wire = np.asarray(adpcm2_encode_wire(jnp.asarray(x[None, :])))
+    back = adpcm2_decode_host(wire[0], 1000)
+    assert back.shape == (1000,)
+    snr = 10 * np.log10(np.mean(x**2) / np.mean((back - x) ** 2))
+    assert snr > 14.0, snr
+
+
+def test_adpcm2_wire_format_synthesis(synth):
+    """wire_format='adpcm2' produces audio close to the PCM16 path (same
+    params/seed), at ~1/7.5 the wire bytes."""
+    cfg, _ = synth
+    cfg2 = cfg.replace(
+        inference=dataclasses.replace(cfg.inference, wire_format="adpcm2")
+    )
+    state = jax.device_get(create_state(cfg))
+    s16 = Synthesizer(cfg, state.params, state.batch_stats, seed=7)
+    s2 = Synthesizer(cfg2, state.params, state.batch_stats, seed=7)
+    w16 = s16.synthesize_batch(["hello world", "abc"])
+    w2 = s2.synthesize_batch(["hello world", "abc"])
+    assert all(len(a) == len(b) for a, b in zip(w16, w2))
+    for a, b in zip(w16, w2):
+        if len(a) == 0:
+            continue
+        scale = max(float(np.abs(a).max()), 1e-3)
+        assert np.abs(a - b).max() / scale < 0.35
