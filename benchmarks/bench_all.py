@@ -217,6 +217,15 @@ def bench_config_4() -> dict:
     return bench_synthesis(4, 210, "long_form_1050_frames_b4", pipeline_chunks=4)
 
 
+def bench_config_4f() -> dict:
+    """Config 4 through the fast-vocoder preset — long-form synthesis
+    benefits from the same quality-gated GL cut as config 2f (round 5)."""
+    return bench_synthesis(
+        4, 210, "long_form_1050_frames_b4_fast_vocoder", pipeline_chunks=4,
+        fast_vocoder=True,
+    )
+
+
 def bench_config_5() -> dict:
     import jax
 
@@ -296,13 +305,14 @@ BENCHES = {
     "3": bench_config_3,
     "3c": bench_config_3c,
     "4": bench_config_4,
+    "4f": bench_config_4f,
     "5": bench_config_5,
 }
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--configs", default="1,2,2f,3,3c,4,5")
+    ap.add_argument("--configs", default="1,2,2f,3,3c,4,4f,5")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     # TPU configs would block ~25 min on backend init during a relay
