@@ -27,22 +27,9 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np  # noqa: E402
 
+from scripts._common import dispatch_marker_ms as _marker  # noqa: E402
+
 N_BATCHES = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-
-
-def _marker(n: int = 10) -> float:
-    import jax
-    import jax.numpy as jnp
-
-    x = jnp.zeros((8,), jnp.float32)
-    f = jax.jit(lambda v: jnp.sum(v) * 2.0)
-    np.asarray(f(x))
-    ts = []
-    for _ in range(n):
-        t0 = time.perf_counter()
-        np.asarray(f(x))
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts) * 1000.0)
 
 
 def main() -> None:

@@ -37,7 +37,11 @@ B, T_FRAMES, L = 32, 800, 128
 def main() -> None:
     from sstts.config import Config
     from sstts.model.tacotron import Tacotron
-    from sstts.ops.pallas_decoder import fused_decode, vmem_estimate_bytes
+    from sstts.ops.pallas_decoder import (
+        FUSED_VMEM_BUDGET,
+        fused_decode,
+        vmem_estimate_bytes,
+    )
     from sstts.train import build_model, create_state
 
     rng = np.random.default_rng(0)
@@ -70,7 +74,7 @@ def main() -> None:
                 )
             ),
         )
-        serves_fused = est <= 12 * 1024 * 1024
+        serves_fused = est <= FUSED_VMEM_BUDGET
         print(
             f"\nr={r}: S={S} steps for {T_FRAMES} frames; fused-kernel VMEM "
             f"estimate {est/2**20:.1f} MiB -> Synthesizer serves "

@@ -237,15 +237,9 @@ def main() -> None:
 
     # Window-health marker first: every absolute number below is
     # in-program (marker-independent), but record the window anyway.
-    probe = jax.jit(lambda x: x + 1.0)
-    x0 = jnp.zeros(())
-    float(probe(x0))
-    ts = []
-    for _ in range(11):
-        t1 = time.perf_counter()
-        float(probe(x0))
-        ts.append((time.perf_counter() - t1) * 1e3)
-    marker = float(np.median(ts))
+    from scripts._common import dispatch_marker_ms
+
+    marker = dispatch_marker_ms()
     print(f"dispatch marker: {marker:.1f} ms/call "
           f"({'healthy' if marker < 10 else 'DEGRADED'} window)", flush=True)
 

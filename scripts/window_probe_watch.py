@@ -29,14 +29,14 @@ from __future__ import annotations
 import json
 import os
 import subprocess
+import sys
 import time
 from pathlib import Path
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+
+from scripts._common import dispatch_marker_ms  # noqa: E402
 LOG_PATH = "/tmp/window_probe_watch.jsonl"
 SUSPEND_PATH = "/tmp/sstts_watch_suspend"
 INTERVAL_S = 480.0
@@ -58,17 +58,23 @@ def _capture(stamp: str) -> None:
     sees the healthy window; the watcher sleeps while they run)."""
     outdir = REPO / "benchmarks" / "results"
     outdir.mkdir(parents=True, exist_ok=True)
+    py = sys.executable  # the watcher's interpreter, not whatever PATH says
     for tag, cmd, outfile in (
-        ("bench", ["python", "bench.py"], outdir / f"healthy_{stamp}_headline.log"),
+        ("bench", [py, "bench.py"], outdir / f"healthy_{stamp}_headline.log"),
         (
             "bench_all",
             [
-                "python", "benchmarks/bench_all.py", "--out",
+                py, "benchmarks/bench_all.py", "--out",
                 str(outdir / f"healthy_{stamp}_bench_all.json"),
             ],
             outdir / f"healthy_{stamp}_bench_all.log",
         ),
     ):
+        if os.path.exists(SUSPEND_PATH):
+            # A human claimed the chip between capture stages (the 1-core
+            # host cannot run two compile-heavy processes) — stop here.
+            _log({"capture": tag, "skipped": "suspended mid-capture"})
+            return
         t0 = time.time()
         try:
             with open(outfile, "w") as fh:
@@ -84,9 +90,7 @@ def _capture(stamp: str) -> None:
 
 def main() -> None:
     t0 = time.perf_counter()
-    f = jax.jit(lambda x: x + 1.0)
-    x = jnp.zeros(())
-    float(f(x))
+    dispatch_marker_ms(reps=1)  # pay the one trivial compile up front
     print(f"compile+run {time.perf_counter() - t0:.1f}s", flush=True)
     last_capture = 0.0
     while True:
@@ -95,13 +99,8 @@ def main() -> None:
             time.sleep(INTERVAL_S)
             continue
         try:
-            ts = []
-            for _ in range(REPS):
-                t1 = time.perf_counter()
-                float(f(x))
-                ts.append((time.perf_counter() - t1) * 1e3)
-            marker = float(np.median(ts))
-            _log({"marker_ms": round(marker, 1), "min_ms": round(min(ts), 1)})
+            marker = dispatch_marker_ms(reps=REPS)
+            _log({"marker_ms": round(marker, 1)})
             if (
                 marker < CAPTURE_THRESH_MS
                 and time.time() - last_capture > CAPTURE_COOLDOWN_S

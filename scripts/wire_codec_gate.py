@@ -184,8 +184,10 @@ def main() -> None:
     gl_dev = jnp.asarray(gl_wav)
     spec_snrs = {}
     dec_mags = {}
+    decs = {}  # decoded waveforms, reused by arms 2-3 (one round trip/codec)
     for codec in CODECS:
         dec, _ = _wire_roundtrip_host(codec, gl_dev, length)
+        decs[codec] = dec
         dec_mags[codec] = stft_mag(dec)
         spec_snrs[codec] = spectral_snr_db(mag_gl, dec_mags[codec])
         margin = spec_snrs[codec] - gl_floor_snr
@@ -205,8 +207,7 @@ def main() -> None:
     results = {}
     mcds = {}
     for codec in CODECS:
-        dec, _ = _wire_roundtrip_host(codec, gl_dev, length)
-        mel = np.asarray(featurize(jnp.asarray(dec)))
+        mel = np.asarray(featurize(jnp.asarray(decs[codec])))
         results[codec] = float(np.abs(mel - gt_mel).mean())
         mcds[codec] = mcd_from_normalized_mel(
             mel, gt_mel, min_level_db=ds.min_level_db

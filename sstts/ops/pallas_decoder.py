@@ -659,13 +659,21 @@ def supports_arch(arch) -> bool:
     )
 
 
+#: Serving admission budget for the fused kernel: ~3/4 of a v5e core's
+#: 16 MiB VMEM (headroom for compiler temporaries).  Callers compare
+#: `vmem_estimate_bytes(...) <= FUSED_VMEM_BUDGET`; keeping the threshold
+#: HERE, next to the estimator, means a retune changes every consumer
+#: (sstts.synthesize and the profiling scripts) together.
+FUSED_VMEM_BUDGET = 12 * 1024 * 1024
+
+
 def vmem_estimate_bytes(
     B: int, T: int, Dm: int, A: int, n_params: int
 ) -> int:
     """Rough VMEM footprint: weights (bf16) + memory/keys (bf16) + the f32
     (B, T, A) attention temporary + outputs/scratch.  Used by callers
     (sstts.synthesize) to fall back to the XLA scan when a workload would
-    not fit on-core."""
+    not fit on-core (gate: <= FUSED_VMEM_BUDGET)."""
     return (
         2 * n_params
         + 2 * B * T * (Dm + A)

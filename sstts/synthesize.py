@@ -284,13 +284,16 @@ class Synthesizer:
             # + the (B, T, A) attention temporary on-core; workloads past
             # ~3/4 of a v5e core's 16 MiB VMEM fall back to the XLA scan
             # for this shape bucket.
-            from sstts.ops.pallas_decoder import vmem_estimate_bytes
+            from sstts.ops.pallas_decoder import (
+                FUSED_VMEM_BUDGET,
+                vmem_estimate_bytes,
+            )
 
             B, T, Dm = memory.shape
             est = vmem_estimate_bytes(
                 B, T, Dm, cfg.arch.attention_units, self._decoder_param_count
             )
-            use_fused = est <= 12 * 1024 * 1024
+            use_fused = est <= FUSED_VMEM_BUDGET
         if use_fused:
             from sstts.ops.pallas_decoder import fused_decode
 
