@@ -190,7 +190,7 @@ def mulaw_decode_host(u8: np.ndarray, mu: float = 255.0) -> np.ndarray:
 ADPCM_BLOCK = 256
 
 
-def _dpcm_quantize_blocks(y, q_lo, q_hi, levels, offset=0.0):
+def _dpcm_quantize_blocks(y, q_lo, q_hi, levels, offset=0.0, ns_beta=0.0):
     """Shared block-adaptive feedback-DPCM quantizer (device, lax.scan).
 
     [-1, 1] audio (B, n) -> (codes (B, nb, block) uint8 offset by -q_lo
@@ -205,6 +205,18 @@ def _dpcm_quantize_blocks(y, q_lo, q_hi, levels, offset=0.0):
     {-2..1} mapping on corpus speech, 23.9 vs 20.4 dB, 2026-08-21,
     because mid-tread wastes one of only four codes on the asymmetric
     -2 extreme).
+
+    `ns_beta` > 0 enables first-order error-feedback NOISE SHAPING: the
+    quantizer targets u[t] - beta * e[t-1] (e = the previous step's raw
+    quantizer error), so the reconstruction error spectrum is shaped by
+    |1 - beta*z^-1| — a high-pass that moves quantization noise out of
+    the low-frequency region where the mel metrics (and the ear) weigh
+    it most, at the cost of ~(1 + beta^2)x total noise power pushed to
+    high frequency.  Encoder-only: the decoder's telescoped-cumsum
+    reconstruction is BIT-IDENTICAL to the unshaped codec — rec[t] =
+    seed + cumsum((q + offset) * scale) — so every host/native decoder
+    is shared.  The feedback error is clamped to +-2*scale so slope-
+    overload clipping cannot destabilize the loop.
     """
     block = ADPCM_BLOCK
     bsz, n = y.shape
@@ -224,16 +236,33 @@ def _dpcm_quantize_blocks(y, q_lo, q_hi, levels, offset=0.0):
     scale = jnp.maximum(scale, 1e-6).astype(jnp.float16)
     scale_f = scale.astype(jnp.float32)
 
-    def step(rec, u_t):
-        q = jnp.clip(
-            jnp.round((u_t - rec) / scale_f - offset), q_lo, q_hi
-        )
-        return rec + (q + offset) * scale_f, q
-
     # scan over the 255 in-block positions; every (batch, block) pair rides
     # in the lanes.  xs: (block-1, B, nb).
     xs = jnp.moveaxis(blocks[..., 1:], -1, 0)
-    _, qs = jax.lax.scan(step, seed_rec, xs)
+    if ns_beta:
+
+        def step_ns(carry, u_t):
+            rec, e = carry
+            tgt = u_t - ns_beta * e
+            q = jnp.clip(
+                jnp.round((tgt - rec) / scale_f - offset), q_lo, q_hi
+            )
+            rec2 = rec + (q + offset) * scale_f
+            e2 = jnp.clip(rec2 - tgt, -2.0 * scale_f, 2.0 * scale_f)
+            return (rec2, e2), q
+
+        _, qs = jax.lax.scan(
+            step_ns, (seed_rec, jnp.zeros_like(seed_rec)), xs
+        )
+    else:
+
+        def step(rec, u_t):
+            q = jnp.clip(
+                jnp.round((u_t - rec) / scale_f - offset), q_lo, q_hi
+            )
+            return rec + (q + offset) * scale_f, q
+
+        _, qs = jax.lax.scan(step, seed_rec, xs)
     codes = (jnp.moveaxis(qs, 0, -1) - q_lo).astype(jnp.uint8)  # (B, nb, 255)
     codes = jnp.concatenate(
         [jnp.full((bsz, nb, 1), -q_lo, jnp.uint8), codes], axis=-1
@@ -432,7 +461,7 @@ def adpcm3_wire_bytes(n_samples: int) -> int:
     return nb * (ADPCM_BLOCK * 3 // 8 + 4)
 
 
-def adpcm2_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
+def adpcm2_encode_wire(y: jnp.ndarray, ns_beta: float = 0.0) -> jnp.ndarray:
     """[-1, 1] audio (B, n) -> uint8 wire rows (B, 68 * ceil(n/256)).
 
     Block-adaptive 2-bit feedback DPCM (0.266 B/sample — 1.5x fewer bytes
@@ -444,13 +473,22 @@ def adpcm2_encode_wire(y: jnp.ndarray) -> jnp.ndarray:
     adpcm3, one quantizer bit); admission is decided by the numeric gates
     (`scripts/wire_codec_gate.py`: spectral SNR >= GL floor + 10 dB,
     peak-spectral <= 1.02x lossless).  Four codes pack per byte.
-    Inverse: `adpcm2_decode_host`.
+    Inverse: `adpcm2_decode_host` (unchanged by `ns_beta` — shaping is
+    encoder-only; see `_dpcm_quantize_blocks`).
+
+    `ns_beta` disposition (2026-08-21, `scripts/ns_beta_sweep.py`):
+    high-pass noise shaping does NOT rescue the 2-bit codec's failed
+    copy-synthesis arm — best beta=0.4 reads 1.24x the lossless wire
+    (bar 1.02x; unshaped 1.29x), beta>=0.8 is WORSE (the GL cargo's
+    high-frequency mel bins are low-energy, so relocated noise still
+    surfaces).  The arm fails on total 2-bit noise power, not on its
+    spectral placement; the serving wire floor stands at adpcm3.
     """
     block = ADPCM_BLOCK
     bsz, n = y.shape
     nb = -(-n // block)
     codes, scale, seeds_i16 = _dpcm_quantize_blocks(
-        y, -2.0, 1.0, 1.5, offset=0.5
+        y, -2.0, 1.0, 1.5, offset=0.5, ns_beta=ns_beta
     )
     c = codes.reshape(bsz, nb, block // 4, 4)
     packed = (

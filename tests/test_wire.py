@@ -255,6 +255,52 @@ def test_adpcm2_wire_roundtrip():
     assert snr > 14.0, snr
 
 
+def test_adpcm2_noise_shaping_roundtrip():
+    """`adpcm2_encode_wire(ns_beta=...)`: the shaped encode must decode
+    through the UNCHANGED decoder (shaping is encoder-only; the wire
+    layout is bit-identical), land within a few dB of the unshaped SNR,
+    and actually move quantization-error energy out of the low band
+    (first-order high-pass: |1 - beta*z^-1|).  Admission outcome lives
+    in scripts/ns_beta_sweep.py (rejected for serving; the knob stays)."""
+    import jax.numpy as jnp
+
+    from sstts.dsp.ops import (
+        adpcm2_decode_host,
+        adpcm2_encode_wire,
+        adpcm2_wire_bytes,
+    )
+
+    rng = np.random.default_rng(1)
+    n = 8000
+    t = np.arange(n) / 8000.0
+    x = np.clip(
+        0.5 * np.sin(2 * np.pi * 220 * t)
+        + 0.2 * np.sin(2 * np.pi * 730 * t)
+        + 0.02 * rng.standard_normal(n),
+        -1,
+        1,
+    ).astype(np.float32)
+
+    def err_of(beta):
+        wire = np.asarray(adpcm2_encode_wire(jnp.asarray(x[None]), ns_beta=beta))
+        assert wire.shape == (1, adpcm2_wire_bytes(n))
+        return adpcm2_decode_host(wire[0], n) - x
+
+    e0, e6 = err_of(0.0), err_of(0.6)
+    snr0 = 10 * np.log10(np.mean(x**2) / np.mean(e0**2))
+    snr6 = 10 * np.log10(np.mean(x**2) / np.mean(e6**2))
+    assert snr6 > snr0 - 4.0, (snr0, snr6)  # bounded total-power cost
+
+    def low_band_power(e):  # error energy below fs/8
+        spec = np.abs(np.fft.rfft(e)) ** 2
+        return float(spec[: len(spec) // 4].sum() / spec.sum())
+
+    assert low_band_power(e6) < low_band_power(e0), (
+        low_band_power(e0),
+        low_band_power(e6),
+    )
+
+
 def test_adpcm2_wire_format_synthesis(synth):
     """wire_format='adpcm2' produces audio close to the PCM16 path (same
     params/seed), at ~1/7.5 the wire bytes."""
